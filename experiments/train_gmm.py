@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Train the pure-GMM baseline on pinwheel with natural-gradient VMP.
+
+BASELINE.json config #2: "Pure GMM via natural-gradient VMP on pinwheel
+(conjugate NIW/Dirichlet updates, no neural net)". See SURVEY.md §4.2 for
+the call stack this script drives.
+
+Example:
+    python experiments/train_gmm.py --num-components 10 --steps 200
+    python experiments/train_gmm.py --batch-size 64 --rho 0.3 --steps 2000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--num-components", "-K", type=int, default=10)
+    p.add_argument("--num-classes", type=int, default=5, help="pinwheel arms")
+    p.add_argument("--num-per-class", type=int, default=100)
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--batch-size", type=int, default=0, help="0 = full batch")
+    p.add_argument("--rho", type=float, default=1.0, help="CVI step size")
+    p.add_argument("--rho-decay", type=float, default=0.0, help="rho_t = rho/(1+decay*t)")
+    p.add_argument("--alpha", type=float, default=1.0, help="Dirichlet prior")
+    p.add_argument("--kappa", type=float, default=0.05, help="NIW prior scale")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--eval-every", type=int, default=20)
+    p.add_argument("--platform", choices=["default", "cpu"], default="default")
+    p.add_argument("--logfile", type=str, default="")
+    args = p.parse_args()
+
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from svax.data import load_pinwheel
+    from svax.models import gmm_baseline
+    from svax.pgm import gmm
+
+    train, test = load_pinwheel(
+        num_classes=args.num_classes, num_per_class=args.num_per_class, seed=args.seed
+    )
+    dtype = jnp.float32
+    x_train = jnp.asarray(train, dtype=dtype)
+    x_test = jnp.asarray(test, dtype=dtype)
+    n = x_train.shape[0]
+    batch = args.batch_size if args.batch_size > 0 else n
+
+    prior = gmm.make_prior(
+        args.num_components, 2, alpha=args.alpha, kappa=args.kappa, dtype=dtype
+    )
+    key = jax.random.PRNGKey(args.seed)
+    k_init, k_data = jax.random.split(key)
+    state = gmm_baseline.init_state(k_init, prior, x_train)
+
+    rho = (
+        args.rho
+        if args.rho_decay == 0.0
+        else (lambda t: args.rho / (1.0 + args.rho_decay * t))
+    )
+    step = jax.jit(gmm_baseline.make_train_step(prior, rho, num_total=n))
+
+    logf = open(args.logfile, "a") if args.logfile else None
+    print(f"devices={jax.devices()} n={n} batch={batch} K={args.num_components}")
+
+    # Warm up compile before timing.
+    state_w, _ = step(state, x_train[:batch])
+    jax.block_until_ready(state_w.nat.dir_nat)
+
+    t0 = time.perf_counter()
+    for t in range(args.steps):
+        if batch < n:
+            k_data, k = jax.random.split(k_data)
+            idx = jax.random.choice(k, n, (batch,), replace=False)
+            xb = x_train[idx]
+        else:
+            xb = x_train
+        state, metrics = step(state, xb)
+        if (t + 1) % args.eval_every == 0 or t == 0:
+            ev = gmm_baseline.evaluate(state.nat, prior, x_test, num_total=n)
+            row = {
+                "step": t + 1,
+                "elbo": float(metrics["elbo"]),
+                "test_evidence_per_point": float(ev["evidence_per_point"]),
+            }
+            print(json.dumps(row))
+            if logf:
+                logf.write(json.dumps(row) + "\n")
+    jax.block_until_ready(state.nat.dir_nat)
+    dt = time.perf_counter() - t0
+    counts = np.asarray(
+        gmm.e_step_obs(x_train, gmm.expected_params(state.nat))[0].sum(0)
+    )
+    print(f"steps/sec: {args.steps / dt:.1f}")
+    print(f"component counts: {np.round(counts, 1).tolist()}")
+    if logf:
+        logf.close()
+
+
+if __name__ == "__main__":
+    main()
