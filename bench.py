@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Headline benchmark: pinwheel SVAE (K=10) training steps/sec.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "steps/s", "vs_baseline": N/BASELINE}
+
+Methodology (BASELINE.md): the reference implementation is unavailable
+(empty mount, SURVEY.md §0), so the baseline is this repo's own float64
+CPU run of the mathematically identical algorithm with per-step host
+dispatch — the TF1 ``session.run``-per-step execution model the reference
+used. The TPU number runs the same config in float32 with the train loop
+inside one jitted ``lax.scan`` (the TPU-native execution model). Config:
+full-batch pinwheel N=400, K=10, latent 2, S=4 MC samples, MLPs 50-50.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+# Measured on this machine's CPU backend (see BASELINE.md for details).
+BASELINE_CPU_STEPS_PER_SEC = 20.4
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from svax.data import load_pinwheel
+    from svax.models.svae import SvaeConfig
+    from svax.pgm import gmm
+    from svax.train import svae_step
+    from svax.train.loop import make_scan_runner
+
+    train, _ = load_pinwheel(seed=0)
+    x = jnp.asarray(train, dtype=jnp.float32)
+    n = x.shape[0]
+    config = SvaeConfig(latent_dim=2, num_components=10, num_samples=4, num_total=n)
+    prior = gmm.make_prior(10, 2)
+    opt = optax.adam(1e-3)
+    key = jax.random.PRNGKey(0)
+    state = svae_step.init_state(
+        key, 2, config, prior, opt, (50, 50), (50, 50), data=x
+    )
+    step = svae_step.make_train_step(config, prior, opt, rho=0.05)
+
+    chunk = 50
+    runner = make_scan_runner(step, chunk)
+
+    # Warm-up compile + one chunk (cold TPU compile can take ~2 min).
+    state, metrics = runner(state, x, key)
+    jax.block_until_ready(state.pgm_nat.dir_nat)
+
+    n_chunks = 20
+    t0 = time.perf_counter()
+    k = key
+    for i in range(n_chunks):
+        k = jax.random.fold_in(k, i)
+        state, metrics = runner(state, x, k)
+    jax.block_until_ready(state.pgm_nat.dir_nat)
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = n_chunks * chunk / dt
+    final_elbo = float(metrics["elbo"][-1])
+    assert final_elbo == final_elbo, "NaN ELBO in benchmark run"
+    print(
+        json.dumps(
+            {
+                "metric": "pinwheel_svae_K10_steps_per_sec",
+                "value": round(steps_per_sec, 2),
+                "unit": "steps/s",
+                "vs_baseline": round(steps_per_sec / BASELINE_CPU_STEPS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

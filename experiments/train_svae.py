@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Train the structured VAE (SVAE) with VMP/CVI natural-gradient updates.
+
+BASELINE.json configs #1 (pinwheel), #3 (Auto), #4 (MNIST). The step
+alternates (inside ONE jitted function) an Adam update on the neural nets
+with a CVI natural-gradient update on the GMM prior naturals — SURVEY.md
+§4.1's call stack rebuilt TPU-first.
+
+Examples:
+    python experiments/train_svae.py --dataset pinwheel --steps 2000
+    python experiments/train_svae.py --dataset auto -K 10 --latent-dim 4
+    python experiments/train_svae.py --dataset mnist -K 10 --latent-dim 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset", choices=["pinwheel", "auto", "mnist"], default="pinwheel")
+    p.add_argument("--num-components", "-K", type=int, default=10)
+    p.add_argument("--latent-dim", "-L", type=int, default=2)
+    p.add_argument("--num-samples", "-S", type=int, default=4)
+    p.add_argument("--encoder-hidden", type=int, nargs="+", default=[50, 50])
+    p.add_argument("--decoder-hidden", type=int, nargs="+", default=[50, 50])
+    p.add_argument("--steps", type=int, default=2000)
+    p.add_argument("--batch-size", type=int, default=0, help="0 = full batch")
+    p.add_argument("--lr", type=float, default=1e-3, help="Adam lr for NN params")
+    p.add_argument("--rho", type=float, default=0.05, help="CVI step size")
+    p.add_argument("--rho-decay", type=float, default=0.0)
+    p.add_argument("--alpha", type=float, default=1.0)
+    p.add_argument("--kappa", type=float, default=0.05)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--eval-every", type=int, default=200)
+    p.add_argument("--platform", choices=["default", "cpu"], default="default")
+    p.add_argument("--logfile", type=str, default="")
+    p.add_argument("--checkpoint-dir", type=str, default="")
+    p.add_argument("--resume", action="store_true")
+    args = p.parse_args()
+
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import optax
+
+    from svax.data import load_dataset
+    from svax.models.svae import SvaeConfig
+    from svax.pgm import gmm
+    from svax.train import svae_step
+
+    train, test, meta = load_dataset(args.dataset, seed=args.seed)
+    likelihood = meta["likelihood"]
+    x_train = jnp.asarray(train, dtype=jnp.float32)
+    x_test = jnp.asarray(test, dtype=jnp.float32)
+    n, input_dim = x_train.shape
+    batch = args.batch_size if args.batch_size > 0 else n
+
+    config = SvaeConfig(
+        latent_dim=args.latent_dim,
+        num_components=args.num_components,
+        num_samples=args.num_samples,
+        likelihood=likelihood,
+        num_total=n,
+    )
+    prior = gmm.make_prior(
+        args.num_components, args.latent_dim, alpha=args.alpha, kappa=args.kappa
+    )
+    opt = optax.adam(args.lr)
+    key = jax.random.PRNGKey(args.seed)
+    k_init, k_run = jax.random.split(key)
+    state = svae_step.init_state(
+        k_init,
+        input_dim,
+        config,
+        prior,
+        opt,
+        encoder_hidden=tuple(args.encoder_hidden),
+        decoder_hidden=tuple(args.decoder_hidden),
+    )
+    start_step = 0
+    ckpt = None
+    if args.checkpoint_dir:
+        from svax.train import checkpoint as ckpt_mod
+
+        ckpt = ckpt_mod.Checkpointer(args.checkpoint_dir)
+        if args.resume:
+            state, k_run, start_step = ckpt.restore_or(state, k_run)
+
+    rho = (
+        args.rho
+        if args.rho_decay == 0.0
+        else (lambda t: args.rho / (1.0 + args.rho_decay * t))
+    )
+    step = jax.jit(svae_step.make_train_step(config, prior, opt, rho))
+    evaluate = jax.jit(svae_step.make_eval_fn(config, prior))
+
+    logf = open(args.logfile, "a") if args.logfile else None
+    print(
+        f"devices={jax.devices()} dataset={args.dataset} n={n} D={input_dim} "
+        f"K={args.num_components} L={args.latent_dim} likelihood={likelihood}"
+    )
+
+    state_w, _ = step(state, x_train[:batch], k_run)
+    jax.block_until_ready(state_w.pgm_nat.dir_nat)
+
+    t0 = time.perf_counter()
+    for t in range(start_step, args.steps):
+        k_run, k_batch, k_step = jax.random.split(k_run, 3)
+        if batch < n:
+            idx = jax.random.choice(k_batch, n, (batch,), replace=False)
+            xb = x_train[idx]
+        else:
+            xb = x_train
+        state, metrics = step(state, xb, k_step)
+        if (t + 1) % args.eval_every == 0 or t == start_step:
+            ev = evaluate(state, x_test, k_run)
+            row = {
+                "step": t + 1,
+                "elbo": float(metrics["elbo"]),
+                "recon": float(metrics["recon"]),
+                "local_kl": float(metrics["local_kl"]),
+                "global_kl": float(metrics["global_kl"]),
+                "test_elbo_per_point": float(ev["elbo_per_point"]),
+            }
+            print(json.dumps(row))
+            if logf:
+                logf.write(json.dumps(row) + "\n")
+            if ckpt is not None:
+                ckpt.save(t + 1, state, k_run)
+    jax.block_until_ready(state.pgm_nat.dir_nat)
+    dt = time.perf_counter() - t0
+    steps_run = args.steps - start_step
+    print(f"steps/sec: {steps_run / dt:.1f}")
+    if ckpt is not None:
+        ckpt.save(args.steps, state, k_run)
+        ckpt.close()
+    if logf:
+        logf.close()
+
+
+if __name__ == "__main__":
+    main()

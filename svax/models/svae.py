@@ -1,0 +1,217 @@
+"""Structured VAE: SIN combine, mixture reparam sampling, structured ELBO.
+
+The L2 core of the framework (SURVEY.md §2, §4.1, §9.4–§9.6). One forward
+pass computes, entirely in closed form except the reconstruction Monte
+Carlo:
+
+1. encoder potentials (hₙ, Pₙ) — diagonal Gaussian recognition messages;
+2. SIN combine with the expected GMM component naturals:
+   J̃_nk = diag(Pₙ) + E[Λ_k],  μ̃_nk = J̃⁻¹(hₙ + E[Λμ]_k);
+3. mixture responsibilities r̃_nk = softmax_k of the product-of-Gaussians
+   log-normalizer plus E[log π_k] (§9.4);
+4. S reparameterized samples per (n, k) through the decoder, recon term
+   weighted by r̃ (§9.6);
+5. the local KL term E_q[log p̄(z,k) − log q(z,k|x)] in closed form;
+6. global conjugate KLs and the CVI sufficient statistics (§9.5).
+
+Everything is one jittable pure function; the N×K×d×d combine runs on the
+unrolled static-d Cholesky path (svax.ops) so it fuses on the VPU, and the
+S·N·K decoder evaluations batch into MXU matmuls.
+
+Reference counterpart: recalled ``svae.py`` graph builders (unverified —
+empty mount, SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from svax.nets import mlp as nets
+from svax.ops import batched_linalg as bl
+from svax.pgm import gmm
+from svax.pgm.gmm import GmmExpected, GmmNat, GmmSuffStats
+
+_LOG_2PI = 1.8378770664093453
+
+
+class SvaeConfig(NamedTuple):
+    """Static configuration of the SVAE graph (hashable, jit-static)."""
+
+    latent_dim: int
+    num_components: int
+    num_samples: int = 1  # S Monte-Carlo samples for the recon term
+    likelihood: str = "gaussian"  # or "bernoulli"
+    num_total: int = 1  # dataset size N for minibatch scaling
+    jitter: float = 0.0  # added to J̃ diagonals if > 0
+    activation: Callable = jnp.tanh
+
+
+class SinPosterior(NamedTuple):
+    """Per-(n,k) structured posterior q(z|x,k) and mixture weights."""
+
+    mean: jnp.ndarray  # (N, K, d) μ̃
+    prec_chol: jnp.ndarray  # (N, K, d, d) chol(J̃)
+    cov: jnp.ndarray  # (N, K, d, d) Σ̃ = J̃⁻¹
+    log_resp: jnp.ndarray  # (N, K) normalized log r̃
+    logdet_prec: jnp.ndarray  # (N, K) log|J̃|
+
+
+class SvaeOutputs(NamedTuple):
+    elbo: jnp.ndarray  # scalar, full-dataset scale
+    recon: jnp.ndarray  # scaled Σ_n Σ_k r̃·E[log p(x|z)]
+    local_kl: jnp.ndarray  # scaled −Σ_n E_q[log p̄ − log q]  (≥ 0)
+    global_kl: jnp.ndarray  # KL(q(θ)‖p(θ))
+    suff_stats: GmmSuffStats  # CVI payload (already N/M-scaled, pre-psum)
+    posterior: SinPosterior
+
+
+def sin_combine(
+    pot_h: jnp.ndarray,
+    pot_p: jnp.ndarray,
+    exp: GmmExpected,
+    jitter: float = 0.0,
+) -> SinPosterior:
+    """Conjugate message-passing combine of encoder and PGM messages (§9.4).
+
+    pot_h, pot_p: (N, d) diagonal encoder potential; exp: expected GMM
+    naturals. Returns the (N, K) family of Gaussian posteriors and mixture
+    log-responsibilities.
+    """
+    d = pot_h.shape[-1]
+    eye = jnp.eye(d, dtype=pot_h.dtype)
+    # J̃_nk = diag(Pₙ) + E[Λ_k]  → (N, K, d, d)
+    prec = pot_p[:, None, :, None] * eye + exp.prec[None, :, :, :]
+    if jitter > 0.0:
+        prec = prec + jitter * eye
+    h = pot_h[:, None, :] + exp.prec_mean[None, :, :]  # (N, K, d)
+    chol = bl.cholesky(prec)
+    mean = bl.cho_solve_vec(chol, h)
+    logdet_prec = bl.logdet_from_chol(chol)
+    cov = bl.inv_psd(chol)
+    # log r̃ ∝ E[logπ] + ½E[log|Λ|] − ½E[μᵀΛμ] + ½ μ̃ᵀ(h+h̄) − ½ log|J̃|
+    log_rho = (
+        exp.log_pi[None, :]
+        + 0.5 * exp.logdet[None, :]
+        - 0.5 * exp.quad[None, :]
+        + 0.5 * jnp.sum(mean * h, axis=-1)
+        - 0.5 * logdet_prec
+    )
+    log_resp = jax.nn.log_softmax(log_rho, axis=-1)
+    return SinPosterior(
+        mean=mean, prec_chol=chol, cov=cov, log_resp=log_resp, logdet_prec=logdet_prec
+    )
+
+
+def sample_posterior(
+    key: jax.Array, post: SinPosterior, num_samples: int
+) -> jnp.ndarray:
+    """S reparameterized draws z = μ̃ + L̃⁻ᵀε per (n, k): (S, N, K, d)."""
+    shape = (num_samples,) + post.mean.shape
+    eps = jax.random.normal(key, shape, dtype=post.mean.dtype)
+    z = post.mean[None] + bl.solve_triu_vec(
+        jnp.broadcast_to(post.prec_chol, (num_samples,) + post.prec_chol.shape), eps
+    )
+    return z
+
+
+def local_kl_term(post: SinPosterior, exp: GmmExpected) -> jnp.ndarray:
+    """−Σ_k r̃ E_q[log p̄(z,k) − log q(z,k|x)] per datapoint, closed form (§9.6).
+
+    With ḡ_k = ½E[log|Λ|] − (d/2)log2π − ½E[μᵀΛμ]:
+      E_q(z|n,k)[log p̄(z,k)] = E[logπ_k] + ḡ_k + h̄_kᵀμ̃ − ½(tr(J̄Σ̃) + μ̃ᵀJ̄μ̃)
+      E_q(z|n,k)[log q(z|n,k)] = −(d/2)(1+log2π) + ½log|J̃|
+    Returns (N,) of KL(q(z,k|x) ‖ p̄(z,k)) ≥ 0 (up to MC-free exactness).
+    """
+    d = post.mean.shape[-1]
+    resp = jnp.exp(post.log_resp)
+    g_k = 0.5 * exp.logdet - 0.5 * d * _LOG_2PI - 0.5 * exp.quad  # (K,)
+    cross = jnp.einsum(
+        "ki,nki->nk", exp.prec_mean, post.mean, precision=jax.lax.Precision.HIGHEST
+    )
+    tr_term = jnp.einsum(
+        "kij,nkij->nk", exp.prec, post.cov, precision=jax.lax.Precision.HIGHEST
+    )
+    quad_mu = jnp.einsum(
+        "nki,kij,nkj->nk",
+        post.mean,
+        exp.prec,
+        post.mean,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    e_log_pbar = exp.log_pi[None, :] + g_k[None, :] + cross - 0.5 * (tr_term + quad_mu)
+    e_log_q = post.log_resp - 0.5 * d * (1.0 + _LOG_2PI) + 0.5 * post.logdet_prec
+    return -jnp.sum(resp * (e_log_pbar - e_log_q), axis=-1)
+
+
+def forward(
+    nn_params: dict,
+    pgm_nat: GmmNat,
+    prior_nat: GmmNat,
+    x: jnp.ndarray,
+    key: jax.Array,
+    config: SvaeConfig,
+) -> SvaeOutputs:
+    """Full SVAE forward pass → structured ELBO + CVI payload (§4.1 stack)."""
+    n = x.shape[0]
+    scale = config.num_total / n
+
+    exp = gmm.expected_params(pgm_nat)
+    pot_h, pot_p = nets.encoder_apply(nn_params["encoder"], x, config.activation)
+    post = sin_combine(pot_h, pot_p, exp, jitter=config.jitter)
+    resp = jnp.exp(post.log_resp)
+
+    # Reconstruction: S samples per (n, k), decoder batched over S·N·K.
+    z = sample_posterior(key, post, config.num_samples)  # (S, N, K, d)
+    loglik = nets.log_likelihood(
+        nn_params["decoder"],
+        z,
+        x[None, :, None, :],
+        config.likelihood,
+        config.activation,
+    )  # (S, N, K)
+    recon_nk = jnp.mean(loglik, axis=0)  # (N, K)
+    recon = scale * jnp.sum(resp * recon_nk)
+
+    local = scale * jnp.sum(local_kl_term(post, exp))
+    global_kl = gmm.kl_global(pgm_nat, prior_nat)
+    elbo = recon - local - global_kl
+
+    # CVI sufficient statistics from the structured posterior moments (§9.5).
+    ezz = post.cov + post.mean[..., :, None] * post.mean[..., None, :]
+    stats = gmm.suff_stats_from_moments(resp, post.mean, ezz, scale=scale)
+
+    return SvaeOutputs(
+        elbo=elbo,
+        recon=recon,
+        local_kl=local,
+        global_kl=global_kl,
+        suff_stats=stats,
+        posterior=post,
+    )
+
+
+def init_params(
+    key: jax.Array,
+    input_dim: int,
+    config: SvaeConfig,
+    encoder_hidden=(50, 50),
+    decoder_hidden=(50, 50),
+    dtype=jnp.float32,
+) -> dict:
+    k_enc, k_dec = jax.random.split(key)
+    return {
+        "encoder": nets.encoder_init(
+            k_enc, input_dim, encoder_hidden, config.latent_dim, dtype=dtype
+        ),
+        "decoder": nets.decoder_init(
+            k_dec,
+            config.latent_dim,
+            decoder_hidden,
+            input_dim,
+            config.likelihood,
+            dtype=dtype,
+        ),
+    }

@@ -1,0 +1,144 @@
+"""MLP constructors and likelihood heads (SURVEY.md §3a encoder/decoder rows).
+
+Conventions:
+* an MLP is a list of {"w", "b"} dicts; hidden activations are tanh by
+  default (paper-typical for the pinwheel nets, SURVEY.md §4.5), the final
+  layer is linear;
+* the encoder outputs 2·d units split into (mean, raw variance), variance
+  via softplus + floor — a *diagonal* Gaussian recognition potential;
+* decoders output 2·D (Gaussian head: mean + raw variance) or D (Bernoulli
+  logits).
+
+Matmuls run with HIGHEST precision: on TPU the default f32 matmul uses
+bf16 passes, and the 1e-4 relative ELBO-parity target (BASELINE.md) needs
+full f32 accumulation; these nets are small enough that this is free.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+_LOG_2PI = 1.8378770664093453
+_VAR_FLOOR = 1e-6
+
+
+def mlp_init(
+    key: jax.Array, sizes: Sequence[int], dtype=jnp.float32, scale: float = 1.0
+) -> list[dict]:
+    """Glorot-normal init for layer sizes [in, h1, ..., out]."""
+    params = []
+    for i, (n_in, n_out) in enumerate(zip(sizes[:-1], sizes[1:])):
+        key, sub = jax.random.split(key)
+        std = scale * jnp.sqrt(2.0 / (n_in + n_out))
+        params.append(
+            {
+                "w": std * jax.random.normal(sub, (n_in, n_out), dtype=dtype),
+                "b": jnp.zeros((n_out,), dtype=dtype),
+            }
+        )
+    return params
+
+
+def mlp_apply(
+    params: list[dict], x: jnp.ndarray, activation: Callable = jnp.tanh
+) -> jnp.ndarray:
+    """Hidden layers with ``activation``, linear final layer."""
+    h = x
+    for i, layer in enumerate(params):
+        h = (
+            jnp.dot(h, layer["w"], precision=jax.lax.Precision.HIGHEST)
+            + layer["b"]
+        )
+        if i < len(params) - 1:
+            h = activation(h)
+    return h
+
+
+# ---------------------------------------------------------------- encoder
+
+
+def encoder_init(
+    key: jax.Array,
+    input_dim: int,
+    hidden: Sequence[int],
+    latent_dim: int,
+    dtype=jnp.float32,
+) -> list[dict]:
+    return mlp_init(key, [input_dim, *hidden, 2 * latent_dim], dtype=dtype)
+
+
+def encoder_apply(
+    params: list[dict], x: jnp.ndarray, activation: Callable = jnp.tanh
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """x (N, D) → diagonal Gaussian natural potential (h, p), each (N, d).
+
+    p = 1/σ², h = μ/σ² — the recognition-network message the SIN combine
+    adds to the expected GMM component naturals (SURVEY.md §9.4).
+    """
+    out = mlp_apply(params, x, activation)
+    mean, raw = jnp.split(out, 2, axis=-1)
+    var = jax.nn.softplus(raw) + _VAR_FLOOR
+    p = 1.0 / var
+    return mean * p, p
+
+
+# ---------------------------------------------------------------- decoders
+
+
+def decoder_init(
+    key: jax.Array,
+    latent_dim: int,
+    hidden: Sequence[int],
+    output_dim: int,
+    likelihood: str = "gaussian",
+    dtype=jnp.float32,
+) -> list[dict]:
+    mult = 2 if likelihood == "gaussian" else 1
+    return mlp_init(key, [latent_dim, *hidden, mult * output_dim], dtype=dtype)
+
+
+def decoder_apply(
+    params: list[dict],
+    z: jnp.ndarray,
+    likelihood: str = "gaussian",
+    activation: Callable = jnp.tanh,
+):
+    """z (..., d) → likelihood params: (mean, var) or logits."""
+    out = mlp_apply(params, z, activation)
+    if likelihood == "gaussian":
+        mean, raw = jnp.split(out, 2, axis=-1)
+        return mean, jax.nn.softplus(raw) + _VAR_FLOOR
+    return out
+
+
+def gaussian_loglik(x: jnp.ndarray, mean: jnp.ndarray, var: jnp.ndarray) -> jnp.ndarray:
+    """Σ_D log N(x | mean, var), diagonal; broadcasts x against mean/var."""
+    return -0.5 * jnp.sum(
+        jnp.log(var) + (x - mean) ** 2 / var + _LOG_2PI, axis=-1
+    )
+
+
+def bernoulli_loglik(x: jnp.ndarray, logits: jnp.ndarray) -> jnp.ndarray:
+    """Σ_D log Bernoulli(x | σ(logits)); x in [0, 1] (binarized or soft)."""
+    return jnp.sum(
+        x * jax.nn.log_sigmoid(logits) + (1.0 - x) * jax.nn.log_sigmoid(-logits),
+        axis=-1,
+    )
+
+
+def log_likelihood(
+    params: list[dict],
+    z: jnp.ndarray,
+    x: jnp.ndarray,
+    likelihood: str = "gaussian",
+    activation: Callable = jnp.tanh,
+) -> jnp.ndarray:
+    """log p(x | z) under the configured head; broadcasts over sample axes."""
+    if likelihood == "gaussian":
+        mean, var = decoder_apply(params, z, likelihood, activation)
+        return gaussian_loglik(x, mean, var)
+    logits = decoder_apply(params, z, likelihood, activation)
+    return bernoulli_loglik(x, logits)
