@@ -23,6 +23,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", choices=["pinwheel-gmm"], default="")
     p.add_argument("--num-components", "-K", type=int, default=10)
     p.add_argument("--num-classes", type=int, default=5, help="pinwheel arms")
     p.add_argument("--num-per-class", type=int, default=100)
@@ -35,8 +36,15 @@ def main() -> None:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--eval-every", type=int, default=20)
     p.add_argument("--platform", choices=["default", "cpu"], default="default")
+    p.add_argument("--dp", action="store_true", help="data-parallel over all devices")
+    p.add_argument("--fused-kernel", action="store_true", help="use the Pallas fused E-step")
+    p.add_argument("--plot", type=str, default="", help="write cluster plot PNG here")
     p.add_argument("--logfile", type=str, default="")
     args = p.parse_args()
+
+    from configs import apply_config
+
+    apply_config(args, p)
 
     import jax
 
@@ -70,7 +78,20 @@ def main() -> None:
         if args.rho_decay == 0.0
         else (lambda t: args.rho / (1.0 + args.rho_decay * t))
     )
-    step = jax.jit(gmm_baseline.make_train_step(prior, rho, num_total=n))
+    if args.dp:
+        from svax.parallel import mesh as pmesh
+
+        dmesh = pmesh.make_data_mesh()
+        step = pmesh.data_parallel_gmm_step(
+            gmm_baseline.make_train_step(
+                prior, rho, num_total=n, axis_name="data", fused=args.fused_kernel
+            ),
+            dmesh,
+        )
+    else:
+        step = jax.jit(
+            gmm_baseline.make_train_step(prior, rho, num_total=n, fused=args.fused_kernel)
+        )
 
     logf = open(args.logfile, "a") if args.logfile else None
     print(f"devices={jax.devices()} n={n} batch={batch} K={args.num_components}")
@@ -105,6 +126,19 @@ def main() -> None:
     )
     print(f"steps/sec: {args.steps / dt:.1f}")
     print(f"component counts: {np.round(counts, 1).tolist()}")
+    from svax.models import evaluation
+
+    pred = evaluation.gmm_predictive_log_prob(state.nat, x_test)
+    print(json.dumps({"test_predictive_loglik_per_point": float(pred.mean())}))
+    if args.plot:
+        from svax.utils import viz
+
+        resp_full, _ = gmm.e_step_obs(x_train, gmm.expected_params(state.nat))
+        viz.plot_gmm_clusters(
+            np.asarray(x_train), np.asarray(resp_full), state.nat, args.plot,
+            title=f"pinwheel GMM K={args.num_components}",
+        )
+        print(f"wrote {args.plot}")
     if logf:
         logf.close()
 

@@ -25,6 +25,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", choices=["pinwheel-svae", "auto-svae", "mnist-svae", "bigk-dp"], default="")
     p.add_argument("--dataset", choices=["pinwheel", "auto", "mnist"], default="pinwheel")
     p.add_argument("--num-components", "-K", type=int, default=10)
     p.add_argument("--latent-dim", "-L", type=int, default=2)
@@ -40,11 +41,19 @@ def main() -> None:
     p.add_argument("--kappa", type=float, default=0.05)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--eval-every", type=int, default=200)
+    p.add_argument("--iw-samples", type=int, default=100,
+                   help="importance-weighted final test log-lik samples (0=off)")
     p.add_argument("--platform", choices=["default", "cpu"], default="default")
+    p.add_argument("--dp", action="store_true", help="data-parallel over all devices")
+    p.add_argument("--plot", type=str, default="", help="write cluster plot PNG here")
     p.add_argument("--logfile", type=str, default="")
     p.add_argument("--checkpoint-dir", type=str, default="")
     p.add_argument("--resume", action="store_true")
     args = p.parse_args()
+
+    from configs import apply_config
+
+    apply_config(args, p)
 
     import jax
 
@@ -101,7 +110,20 @@ def main() -> None:
         if args.rho_decay == 0.0
         else (lambda t: args.rho / (1.0 + args.rho_decay * t))
     )
-    step = jax.jit(svae_step.make_train_step(config, prior, opt, rho))
+    if args.dp:
+        from svax.parallel import mesh as pmesh
+
+        dmesh = pmesh.make_data_mesh()
+        ndev = dmesh.devices.size
+        if batch % ndev:
+            batch = (batch // ndev) * ndev or ndev
+            print(f"rounding batch to {batch} for {ndev}-device mesh")
+        step = pmesh.data_parallel_step(
+            svae_step.make_train_step(config, prior, opt, rho, axis_name="data"),
+            dmesh,
+        )
+    else:
+        step = jax.jit(svae_step.make_train_step(config, prior, opt, rho))
     evaluate = jax.jit(svae_step.make_eval_fn(config, prior))
 
     logf = open(args.logfile, "a") if args.logfile else None
@@ -141,6 +163,29 @@ def main() -> None:
     dt = time.perf_counter() - t0
     steps_run = args.steps - start_step
     print(f"steps/sec: {steps_run / dt:.1f}")
+    if args.iw_samples > 0:
+        from svax.models import evaluation
+
+        iw = evaluation.svae_iw_loglik(
+            state.nn_params, state.pgm_nat, x_test, k_run, config, args.iw_samples
+        )
+        print(json.dumps({"final_test_iw_loglik_per_point": float(jnp.mean(iw)),
+                          "iw_samples": args.iw_samples}))
+    if args.plot:
+        import numpy as np
+
+        from svax.models import svae as svae_mod
+        from svax.utils import viz
+
+        out = svae_mod.forward(
+            state.nn_params, state.pgm_nat, prior, x_train, k_run,
+            config._replace(num_samples=1),
+        )
+        resp = np.exp(np.asarray(out.posterior.log_resp))
+        z_mean = np.einsum("nk,nkd->nd", resp, np.asarray(out.posterior.mean))
+        viz.plot_latent_space(z_mean, resp, state.pgm_nat, args.plot,
+                              title=f"SVAE latent ({args.dataset})")
+        print(f"wrote {args.plot}")
     if ckpt is not None:
         ckpt.save(args.steps, state, k_run)
         ckpt.close()

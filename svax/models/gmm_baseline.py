@@ -33,6 +33,7 @@ def make_train_step(
     rho: float | Callable,
     num_total: int,
     axis_name: str | None = None,
+    fused: bool = False,
 ) -> Callable:
     """Build the jittable GMM CVI step.
 
@@ -41,18 +42,25 @@ def make_train_step(
     inside shard_map/pjit over a data mesh, and the sufficient statistics are
     psum'd over ICI before the update — the SURVEY.md §3b DP contract. Note
     the scale uses the *global* batch size M_global = M_local × mesh size.
+    With ``fused=True`` the E-step + statistics run through the single-pass
+    Pallas kernel (svax.ops.estep_pallas) instead of the einsum path.
     """
 
     def step(state: GmmTrainState, batch: jnp.ndarray):
         exp = gmm.expected_params(state.nat)
-        resp, evidence = gmm.e_step_obs(batch, exp)
         m_local = batch.shape[0]
         if axis_name is not None:
             m_global = m_local * jax.lax.psum(1, axis_name)
         else:
             m_global = m_local
         scale = num_total / m_global
-        stats = gmm.suff_stats_obs(batch, resp, scale=scale)
+        if fused:
+            from svax.ops import estep_pallas
+
+            stats, evidence = estep_pallas.e_step_stats_fused(batch, exp, scale=scale)
+        else:
+            resp, evidence = gmm.e_step_obs(batch, exp)
+            stats = gmm.suff_stats_obs(batch, resp, scale=scale)
         if axis_name is not None:
             stats = jax.lax.psum(stats, axis_name)
         inc = gmm.stats_to_nat(stats)

@@ -106,11 +106,21 @@ def sin_combine(
 
 
 def sample_posterior(
-    key: jax.Array, post: SinPosterior, num_samples: int
+    key: jax.Array,
+    post: SinPosterior,
+    num_samples: int,
+    eps: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """S reparameterized draws z = μ̃ + L̃⁻ᵀε per (n, k): (S, N, K, d)."""
+    """S reparameterized draws z = μ̃ + L̃⁻ᵀε per (n, k): (S, N, K, d).
+
+    ``eps`` overrides the random draw (used by parity tests to run identical
+    noise through float32 and float64 paths).
+    """
     shape = (num_samples,) + post.mean.shape
-    eps = jax.random.normal(key, shape, dtype=post.mean.dtype)
+    if eps is None:
+        eps = jax.random.normal(key, shape, dtype=post.mean.dtype)
+    else:
+        eps = eps.astype(post.mean.dtype)
     z = post.mean[None] + bl.solve_triu_vec(
         jnp.broadcast_to(post.prec_chol, (num_samples,) + post.prec_chol.shape), eps
     )
@@ -153,6 +163,7 @@ def forward(
     x: jnp.ndarray,
     key: jax.Array,
     config: SvaeConfig,
+    eps: jnp.ndarray | None = None,
 ) -> SvaeOutputs:
     """Full SVAE forward pass → structured ELBO + CVI payload (§4.1 stack)."""
     n = x.shape[0]
@@ -164,7 +175,7 @@ def forward(
     resp = jnp.exp(post.log_resp)
 
     # Reconstruction: S samples per (n, k), decoder batched over S·N·K.
-    z = sample_posterior(key, post, config.num_samples)  # (S, N, K, d)
+    z = sample_posterior(key, post, config.num_samples, eps=eps)  # (S, N, K, d)
     loglik = nets.log_likelihood(
         nn_params["decoder"],
         z,

@@ -86,37 +86,67 @@ def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("tile_n",))
-def _fused_kernel_call(x_pad, w_pad, mask_pad, tile_n: int):
+@functools.partial(jax.jit, static_argnames=("tile_n", "d", "d_pad"))
+def _fused_kernel_call(xt_pad, wt_slots, mask_pad, tile_n: int, d: int, d_pad: int):
+    """Transposed, slot-aligned fused kernel.
+
+    Every logical coefficient/statistic block lives in its own 128-lane
+    slot so all lane slices start at multiples of 128 (no Mosaic
+    relayouts). Layouts:
+      xt_pad   (d_pad, N)            — data transposed, N on lanes
+      wt_slots (K_pad, (2+d)·128)    — slot 0 col 0: c0; slot 1 cols
+                                       0..d_pad: E[Λμ]; slot 2+a: −½E[Λ]
+                                       rows for x_a (zero-padded)
+      mask     (8, N)                — row-replicated validity mask
+    Output stats use the same slot layout; logits come from 1+d
+    HIGHEST-precision MXU dots with d_pad-deep contractions.
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    n_pad, d = x_pad.shape
-    f_pad, k_pad = w_pad.shape
+    _, n_pad = xt_pad.shape
+    k_pad, slots_lanes = wt_slots.shape
     grid = (n_pad // tile_n,)
+    hi = jax.lax.Precision.HIGHEST
+
+    f_slots = 8 + d_pad + d * d_pad  # sublane-slot feature count
 
     def kernel(x_ref, w_ref, mask_ref, stats_ref, ev_ref):
+        # Build the full Φᵀ tile once (sublane concat, cheap VMEM copies),
+        # then TWO deep MXU matmuls — the tiny-d contractions of earlier
+        # revisions serialized the MXU pipeline and were 50× slower.
         i = pl.program_id(0)
-        x = x_ref[:]
-        ones = jnp.ones((tile_n, 1), dtype=x.dtype)
-        outer = (x[:, :, None] * x[:, None, :]).reshape(tile_n, d * d)
-        phi = jnp.concatenate([ones, x, outer], axis=-1)  # (T, 1+d+d²)
-        pad_cols = f_pad - (1 + d + d * d)
-        if pad_cols:
-            phi = jnp.concatenate(
-                [phi, jnp.zeros((tile_n, pad_cols), dtype=x.dtype)], axis=-1
-            )
-        logits = jnp.dot(phi, w_ref[:], preferred_element_type=jnp.float32)
-        ev = jax.nn.logsumexp(logits, axis=-1)  # (T,)
-        mask = mask_ref[0, :]  # (T,)
-        resp = jnp.exp(logits - ev[:, None]) * mask[:, None]
-        ev_ref[0, :] = ev * mask
+        xt = x_ref[:]  # (d_pad, T); rows ≥ d are zero
+        blocks = [
+            jnp.concatenate(
+                [jnp.ones((1, tile_n), jnp.float32), jnp.zeros((7, tile_n), jnp.float32)],
+                axis=0,
+            ),
+            xt,
+        ]
+        for a in range(d):
+            blocks.append(xt * xt[a : a + 1, :])
+        pad_rows = slots_lanes - f_slots
+        if pad_rows:
+            blocks.append(jnp.zeros((pad_rows, tile_n), jnp.float32))
+        phi = jnp.concatenate(blocks, axis=0)  # (slots_lanes, T)
+
+        logits = jnp.dot(
+            w_ref[:], phi, preferred_element_type=jnp.float32, precision=hi
+        )  # (K, T)
+        m = jnp.max(logits, axis=0, keepdims=True)  # (1, T)
+        ex = jnp.exp(logits - m)
+        denom = jnp.sum(ex, axis=0, keepdims=True)  # (1, T)
+        ev = m + jnp.log(denom)  # (1, T)
+        mask = mask_ref[0:1, :]  # (1, T)
+        resp = (ex / denom) * mask  # (K, T)
+        ev_ref[0:1, :] = ev * mask
+
         contrib = jax.lax.dot_general(
-            phi,
-            resp,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (F, K)
+            resp, phi,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hi,
+        )  # (K, slots_lanes)
 
         @pl.when(i == 0)
         def _init():
@@ -126,24 +156,24 @@ def _fused_kernel_call(x_pad, w_pad, mask_pad, tile_n: int):
         def _acc():
             stats_ref[:] = stats_ref[:] + contrib
 
-    stats, evidence = pl.pallas_call(
+    stats_t, evidence = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((f_pad, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((xt_pad.shape[0], tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_pad, slots_lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((f_pad, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_pad, slots_lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((f_pad, k_pad), jnp.float32),
-            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((k_pad, slots_lanes), jnp.float32),
+            jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
         ),
-    )(x_pad, w_pad, mask_pad)
-    return stats, evidence
+    )(xt_pad, wt_slots, mask_pad)
+    return stats_t, evidence
 
 
 def e_step_stats_fused(
@@ -160,28 +190,53 @@ def e_step_stats_fused(
     components get −inf logits via the packed-coefficient convention (their
     W columns are −1e30 in the constant row, so softmax zeroes them).
     """
-    n, d = x.shape
-    k = exp.log_pi.shape[0]
-    f = 1 + d + d * d
-
     backend = jax.default_backend()
     if interpret_fallback and backend not in ("tpu",):
         return e_step_stats_reference(x, exp, scale)
+    return _fused_entry(x, exp, scale, tile_n)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n",))
+def _fused_entry(x, exp, scale, tile_n: int):
+    """Jitted pack → kernel → unpack (one dispatch end-to-end)."""
+    n, d = x.shape
+    k = exp.log_pi.shape[0]
 
     x32 = x.astype(jnp.float32)
-    w = pack_coeffs(exp, dtype=jnp.float32)
-    f_pad = _round_up(f, 8)
-    k_pad = _round_up(k, 128)
-    tile = min(tile_n, _round_up(n, 8))
+    d_pad = _round_up(d, 8)
+    k_pad = _round_up(k, 8)
+    tile = min(tile_n, _round_up(n, 128))
     n_pad = _round_up(n, tile)
 
-    w_pad = jnp.full((f_pad, k_pad), 0.0, dtype=jnp.float32)
-    # Padded components: −1e30 constant term → softmax weight 0.
-    w_pad = w_pad.at[0, :].set(-1e30)
-    w_pad = w_pad.at[:f, :k].set(w)
-    x_pad = jnp.zeros((n_pad, d), dtype=jnp.float32).at[:n].set(x32)
-    mask = jnp.zeros((1, n_pad), dtype=jnp.float32).at[0, :n].set(1.0)
+    # Wᵀ in the kernel's sublane-slot feature order: col 0 = c0 (cols 1..7
+    # pair with zero rows of Φ), cols 8.. = E[Λμ] (d_pad-strided), then one
+    # d_pad-wide block of −½E[Λ] rows per x_a. Padded components get −1e30
+    # constant term so their softmax weight is 0.
+    f_slots = 8 + d_pad + d * d_pad
+    f_pad = _round_up(f_slots, 128)
+    c0 = (
+        exp.log_pi + 0.5 * exp.logdet - 0.5 * exp.quad - 0.5 * d * _LOG_2PI
+    ).astype(jnp.float32)
+    wt = jnp.zeros((k_pad, f_pad), dtype=jnp.float32)
+    wt = wt.at[:, 0].set(-1e30)
+    wt = wt.at[:k, 0].set(c0)
+    wt = wt.at[:k, 8 : 8 + d].set(exp.prec_mean.astype(jnp.float32))
+    for a in range(d):
+        off = 8 + d_pad + a * d_pad
+        wt = wt.at[:k, off : off + d].set(-0.5 * exp.prec[:, a, :].astype(jnp.float32))
+    xt_pad = jnp.zeros((d_pad, n_pad), dtype=jnp.float32).at[:d, :n].set(x32.T)
+    mask = jnp.zeros((8, n_pad), dtype=jnp.float32).at[:, :n].set(1.0)
 
-    stats, evidence = _fused_kernel_call(x_pad, w_pad, mask, tile)
-    out = unpack_stats(stats[:f, :k], d)
+    stats_t, evidence = _fused_kernel_call(xt_pad, wt, mask, tile, d, d_pad)
+    counts = stats_t[:k, 0]
+    mean_stat = stats_t[:k, 8 : 8 + d]
+    scatter = jnp.stack(
+        [
+            stats_t[:k, 8 + d_pad + a * d_pad : 8 + d_pad + a * d_pad + d]
+            for a in range(d)
+        ],
+        axis=1,
+    )  # (K, d, d)
+    scatter = 0.5 * (scatter + jnp.swapaxes(scatter, -1, -2))
+    out = GmmSuffStats(counts=counts, mean_stat=mean_stat, scatter_stat=scatter)
     return jax.tree.map(lambda s: scale * s, out), evidence[0, :n]

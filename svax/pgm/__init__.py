@@ -8,6 +8,6 @@ for data parallelism (SURVEY.md §3b) hooks in between ``suff_stats*`` and
 ``cvi_update``.
 """
 
-from svax.pgm import gmm, natgrad  # noqa: F401
+from svax.pgm import gmm, natgrad, smm  # noqa: F401
 from svax.pgm.gmm import GmmExpected, GmmNat  # noqa: F401
 from svax.pgm.natgrad import cvi_update  # noqa: F401

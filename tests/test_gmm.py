@@ -111,7 +111,7 @@ def test_pinwheel_recovery():
         inc = gmm.stats_to_nat(gmm.suff_stats_obs(x, resp))
         return natgrad.cvi_update(nat, prior, inc, rho=1.0)
 
-    for _ in range(150):
+    for _ in range(80):
         nat = step(nat)
     exp = gmm.expected_params(nat)
     resp, _ = gmm.e_step_obs(x, exp)

@@ -41,7 +41,7 @@ def test_sample_from_precision_moments(key, rng):
     cov = jnp.asarray(random_cov(rng, (), d))
     nat = mvn.standard_to_natural(mu, cov)
     prec_chol = bl.cholesky(nat.prec)
-    z = mvn.sample_from_precision(key, mu, prec_chol, shape_prefix=(200_000,))
+    z = mvn.sample_from_precision(key, mu, prec_chol, shape_prefix=(100_000,))
     np.testing.assert_allclose(np.asarray(z.mean(0)), np.asarray(mu), atol=2e-2)
     emp_cov = np.cov(np.asarray(z).T)
     np.testing.assert_allclose(emp_cov, np.asarray(cov), rtol=0, atol=5e-2)

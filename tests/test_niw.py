@@ -50,7 +50,7 @@ def test_expected_stats_vs_monte_carlo(rng):
     d = 2
     std = make_std(rng, d)
     stats = niw.expected_stats(std)
-    mus, lams = _sample_niw(std, 60_000, seed=3)
+    mus, lams = _sample_niw(std, 30_000, seed=3)
     np.testing.assert_allclose(np.asarray(stats.prec), lams.mean(0), rtol=3e-2)
     np.testing.assert_allclose(
         np.asarray(stats.prec_mean),

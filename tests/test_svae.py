@@ -92,7 +92,7 @@ def test_local_kl_closed_form_vs_monte_carlo(rng, key):
     post = svae.sin_combine(jnp.asarray(pot_h), jnp.asarray(pot_p), exp)
     closed = np.asarray(svae.local_kl_term(post, exp))
 
-    s = 400_000
+    s = 150_000
     z = svae.sample_posterior(key, post, s)  # (S, N, K, d)
     # log q(z, k | x) = log r̃ + log N(z; μ̃, Σ̃)
     diff = np.asarray(z) - np.asarray(post.mean)[None]
