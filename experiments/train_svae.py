@@ -49,6 +49,8 @@ def main() -> None:
     p.add_argument("--logfile", type=str, default="")
     p.add_argument("--checkpoint-dir", type=str, default="")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="raise on first NaN (jax_debug_nans)")
     args = p.parse_args()
 
     from configs import apply_config
@@ -59,6 +61,10 @@ def main() -> None:
 
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    if args.debug_nans:
+        from svax.utils.guards import enable_nan_debugging
+
+        enable_nan_debugging()
     import jax.numpy as jnp
     import optax
 

@@ -17,11 +17,15 @@ reference mount, SURVEY.md §0).
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 
 # Above this static dimension the unrolled recurrences emit too much code to
-# be worthwhile; fall back to lax.linalg implementations.
-UNROLL_MAX = 16
+# be worthwhile; fall back to lax.linalg implementations. The unroll is a
+# big TPU win but inflates CPU compile time at large d on small hosts —
+# override via SVAX_UNROLL_MAX (e.g. =4 for CPU smoke tests of d=10 configs).
+UNROLL_MAX = int(os.environ.get("SVAX_UNROLL_MAX", "16"))
 
 
 def add_jitter(a: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
