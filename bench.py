@@ -24,6 +24,14 @@ BASELINE_CPU_STEPS_PER_SEC = 20.4
 
 def main() -> None:
     import jax
+
+    try:
+        # Persistent compile cache: cold remote-TPU compiles cost minutes;
+        # re-runs should not.
+        jax.config.update("jax_compilation_cache_dir", "/tmp/svax-jax-cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     import optax
 
@@ -52,16 +60,21 @@ def main() -> None:
     state, metrics = runner(state, x, key)
     jax.block_until_ready(state.pgm_nat.dir_nat)
 
+    # Median-of-chunks timing: per-dispatch latency through the device
+    # tunnel is jittery, and the median reflects sustained throughput.
     n_chunks = 20
-    t0 = time.perf_counter()
+    times = []
     k = key
     for i in range(n_chunks):
         k = jax.random.fold_in(k, i)
+        t0 = time.perf_counter()
         state, metrics = runner(state, x, k)
-    jax.block_until_ready(state.pgm_nat.dir_nat)
-    dt = time.perf_counter() - t0
+        jax.block_until_ready(state.pgm_nat.dir_nat)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    dt = times[len(times) // 2]
 
-    steps_per_sec = n_chunks * chunk / dt
+    steps_per_sec = chunk / dt
     final_elbo = float(metrics["elbo"][-1])
     assert final_elbo == final_elbo, "NaN ELBO in benchmark run"
     print(

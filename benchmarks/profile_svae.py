@@ -21,10 +21,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--trace-dir", type=str, default="/tmp/svax-trace")
+    p.add_argument("--dataset", choices=["pinwheel", "auto", "mnist"], default="pinwheel")
     p.add_argument("--batch", type=int, default=400)
     p.add_argument("--num-components", "-K", type=int, default=10)
     p.add_argument("--latent-dim", "-L", type=int, default=2)
     p.add_argument("--num-samples", "-S", type=int, default=4)
+    p.add_argument("--hidden", type=int, nargs="+", default=[50, 50])
     p.add_argument("--steps", type=int, default=100)
     args = p.parse_args()
 
@@ -32,27 +34,29 @@ def main() -> None:
     import jax.numpy as jnp
     import optax
 
-    from svax.data import make_pinwheel_data
+    from svax.data import load_dataset
     from svax.models.svae import SvaeConfig
     from svax.pgm import gmm
     from svax.train import svae_step
     from svax.train.loop import make_scan_runner
 
-    x = jnp.asarray(
-        make_pinwheel_data(num_classes=5, num_per_class=args.batch // 5, seed=0),
-        dtype=jnp.float32,
-    )
+    train, _, meta = load_dataset(args.dataset, seed=0)
+    x = jnp.asarray(train[: args.batch], dtype=jnp.float32)
     n = x.shape[0]
     config = SvaeConfig(
         latent_dim=args.latent_dim,
         num_components=args.num_components,
         num_samples=args.num_samples,
+        likelihood=meta["likelihood"],
         num_total=n,
     )
     prior = gmm.make_prior(args.num_components, args.latent_dim)
     opt = optax.adam(1e-3)
     key = jax.random.PRNGKey(0)
-    state = svae_step.init_state(key, 2, config, prior, opt, data=x)
+    hidden = tuple(args.hidden)
+    state = svae_step.init_state(
+        key, x.shape[1], config, prior, opt, hidden, hidden, data=x
+    )
     runner = make_scan_runner(
         svae_step.make_train_step(config, prior, opt, rho=0.05), args.steps
     )

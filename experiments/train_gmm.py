@@ -36,6 +36,7 @@ def main() -> None:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--eval-every", type=int, default=20)
     p.add_argument("--platform", choices=["default", "cpu"], default="default")
+    p.add_argument("--init", choices=["random", "kmeanspp"], default="random")
     p.add_argument("--dp", action="store_true", help="data-parallel over all devices")
     p.add_argument("--fused-kernel", action="store_true", help="use the Pallas fused E-step")
     p.add_argument("--plot", type=str, default="", help="write cluster plot PNG here")
@@ -57,8 +58,11 @@ def main() -> None:
     from svax.models import gmm_baseline
     from svax.pgm import gmm
 
-    train, test = load_pinwheel(
-        num_classes=args.num_classes, num_per_class=args.num_per_class, seed=args.seed
+    train, test, train_labels, _ = load_pinwheel(
+        num_classes=args.num_classes,
+        num_per_class=args.num_per_class,
+        seed=args.seed,
+        return_labels=True,
     )
     dtype = jnp.float32
     x_train = jnp.asarray(train, dtype=dtype)
@@ -71,7 +75,15 @@ def main() -> None:
     )
     key = jax.random.PRNGKey(args.seed)
     k_init, k_data = jax.random.split(key)
-    state = gmm_baseline.init_state(k_init, prior, x_train)
+    if args.init == "kmeanspp":
+        import jax.numpy as _jnp
+
+        from svax.pgm.init import init_variational_kmeanspp
+
+        nat0 = init_variational_kmeanspp(prior, train, seed=args.seed)
+        state = gmm_baseline.GmmTrainState(nat=nat0, step=_jnp.zeros((), _jnp.int32))
+    else:
+        state = gmm_baseline.init_state(k_init, prior, x_train)
 
     rho = (
         args.rho
@@ -129,7 +141,17 @@ def main() -> None:
     from svax.models import evaluation
 
     pred = evaluation.gmm_predictive_log_prob(state.nat, x_test)
-    print(json.dumps({"test_predictive_loglik_per_point": float(pred.mean())}))
+    resp_final, _ = gmm.e_step_obs(x_train, gmm.expected_params(state.nat))
+    print(
+        json.dumps(
+            {
+                "test_predictive_loglik_per_point": float(pred.mean()),
+                "train_cluster_purity": evaluation.cluster_purity(
+                    resp_final, train_labels
+                ),
+            }
+        )
+    )
     if args.plot:
         from svax.utils import viz
 

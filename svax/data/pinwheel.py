@@ -19,8 +19,13 @@ def make_pinwheel_data(
     num_per_class: int = 100,
     rate: float = 0.25,
     seed: int = 0,
-) -> np.ndarray:
-    """Generate ((num_classes * num_per_class), 2) float64 pinwheel points."""
+    return_labels: bool = False,
+):
+    """Generate ((num_classes * num_per_class), 2) float64 pinwheel points.
+
+    With ``return_labels=True`` also returns the ground-truth arm index per
+    point (used by the cluster-purity evaluation, SURVEY.md §3a).
+    """
     rng = np.random.default_rng(seed)
     rads = np.linspace(0.0, 2.0 * np.pi, num_classes, endpoint=False)
 
@@ -40,6 +45,8 @@ def make_pinwheel_data(
     )
     data = np.einsum("nij,nj->ni", rotations, features)
     perm = rng.permutation(len(data))
+    if return_labels:
+        return 10.0 * data[perm], labels[perm]
     return 10.0 * data[perm]
 
 
@@ -48,10 +55,20 @@ def load_pinwheel(
     num_per_class: int = 100,
     seed: int = 0,
     test_fraction: float = 0.2,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Train/test split of a standard pinwheel draw."""
-    data = make_pinwheel_data(
-        num_classes=num_classes, num_per_class=num_per_class, seed=seed
+    return_labels: bool = False,
+):
+    """Train/test split of a standard pinwheel draw.
+
+    With ``return_labels=True`` returns (train, test, train_labels,
+    test_labels) for purity evaluation.
+    """
+    data, labels = make_pinwheel_data(
+        num_classes=num_classes,
+        num_per_class=num_per_class,
+        seed=seed,
+        return_labels=True,
     )
     n_test = int(len(data) * test_fraction)
+    if return_labels:
+        return data[n_test:], data[:n_test], labels[n_test:], labels[:n_test]
     return data[n_test:], data[:n_test]

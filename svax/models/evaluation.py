@@ -114,6 +114,23 @@ def vae_iw_loglik(
     return jax.nn.logsumexp(log_w, axis=0) - jnp.log(float(num_samples))
 
 
+def cluster_purity(resp: jnp.ndarray, labels: jnp.ndarray) -> float:
+    """Hard-assignment cluster purity vs ground-truth labels (SURVEY.md §3a).
+
+    purity = (1/N) Σ_clusters max_class |cluster ∩ class| ∈ (0, 1].
+    """
+    import numpy as np
+
+    hard = np.asarray(resp).argmax(-1)
+    labels = np.asarray(labels)
+    total = 0
+    for c in np.unique(hard):
+        members = labels[hard == c]
+        if len(members):
+            total += np.bincount(members).max()
+    return float(total) / float(len(labels))
+
+
 def gmm_predictive_log_prob(nat: GmmNat, x: jnp.ndarray) -> jnp.ndarray:
     """Exact VB posterior predictive of the conjugate GMM (Bishop 10.81).
 

@@ -48,6 +48,10 @@ def init_state(
     nn_params = svae.init_params(
         k_nn, input_dim, config, encoder_hidden, decoder_hidden, dtype=dtype
     )
+    # Component locations live in LATENT space; observed data can seed them
+    # only when the dimensions coincide (e.g. 2-D pinwheel).
+    if data is not None and data.shape[-1] != config.latent_dim:
+        data = None
     pgm_nat = gmm.init_variational(k_pgm, prior, data, pseudo_counts=init_pseudo_counts)
     return SvaeTrainState(
         nn_params=nn_params,

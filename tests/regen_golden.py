@@ -1,0 +1,33 @@
+#!/usr/bin/env python
+"""Deliberately regenerate the golden trajectory files (tests/golden/).
+
+Run ONLY when the update math intentionally changes; commit the diff with
+an explanation. Usage:  python tests/regen_golden.py
+"""
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+
+from tests.test_parity import _gmm_trajectory  # noqa: E402
+
+
+def main() -> None:
+    golden = Path(__file__).parent / "golden" / "gmm_pinwheel_f64.json"
+    golden.parent.mkdir(exist_ok=True)
+    values = _gmm_trajectory(jnp.float64, steps=25)
+    golden.write_text(json.dumps([round(float(v), 6) for v in values.tolist()]))
+    print(f"wrote {golden} ({len(values)} steps, final={values[-1]:.3f})")
+
+
+if __name__ == "__main__":
+    main()
