@@ -53,3 +53,10 @@ def kl(alpha_q: jnp.ndarray, alpha_p: jnp.ndarray) -> jnp.ndarray:
 def log_prob(alpha: jnp.ndarray, pi: jnp.ndarray) -> jnp.ndarray:
     """log Dir(π | α) with π on the simplex along the trailing axis."""
     return jnp.sum((alpha - 1.0) * jnp.log(pi), axis=-1) - log_partition(alpha)
+
+
+def sample(key, alpha: jnp.ndarray, shape: tuple = ()) -> jnp.ndarray:
+    """Draw π ~ Dir(α); returns shape + alpha.shape."""
+    import jax
+
+    return jax.random.dirichlet(key, alpha, shape=shape + alpha.shape[:-1])

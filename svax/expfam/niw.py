@@ -173,3 +173,39 @@ def kl(q: NiwStandard, p: NiwStandard) -> jnp.ndarray:
 
 def kl_nat(q: NiwNat, p: NiwNat) -> jnp.ndarray:
     return kl(natural_to_standard(q), natural_to_standard(p))
+
+
+def sample(key, std: NiwStandard) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Draw (μ, Λ) ~ NIW(m, κ, Φ, ν) via the Bartlett decomposition.
+
+    Λ = L A Aᵀ Lᵀ with L = chol(Φ⁻¹), A lower-triangular with
+    A_ii = sqrt(χ²_{ν−i+1}) and N(0,1) strictly-below entries; then
+    μ | Λ ~ N(m, (κΛ)⁻¹). Batched over leading component axes. Intended
+    for posterior-predictive checks and generation, not the training path.
+    """
+    import jax
+
+    d = std.m.shape[-1]
+    batch = std.m.shape[:-1]
+    k_chi, k_norm, k_mu = jax.random.split(key, 3)
+
+    chol_phi = bl.cholesky(std.phi)
+    phi_inv = bl.inv_psd(chol_phi)
+    chol_v = bl.cholesky(phi_inv)  # L with L Lᵀ = Φ⁻¹
+
+    # Bartlett factor A: diag sqrt(χ²) via Gamma(df/2)·2, normals below.
+    dfs = std.nu[..., None] - jnp.arange(d, dtype=std.nu.dtype)  # (..., d)
+    chi2 = 2.0 * jax.random.gamma(k_chi, dfs / 2.0, dtype=std.m.dtype)
+    diag = jnp.sqrt(chi2)
+    normals = jax.random.normal(k_norm, batch + (d, d), dtype=std.m.dtype)
+    tril_mask = jnp.tril(jnp.ones((d, d), dtype=std.m.dtype), k=-1)
+    a = normals * tril_mask + diag[..., None] * jnp.eye(d, dtype=std.m.dtype)
+
+    la = jnp.einsum("...ij,...jk->...ik", chol_v, a)
+    lam = jnp.einsum("...ik,...jk->...ij", la, la)
+
+    # μ | Λ ~ N(m, (κΛ)⁻¹): backsolve with chol(κΛ).
+    chol_kl = bl.cholesky(std.kappa[..., None, None] * lam)
+    eps = jax.random.normal(k_mu, std.m.shape, dtype=std.m.dtype)
+    mu = std.m + bl.solve_triu_vec(chol_kl, eps)
+    return mu, lam

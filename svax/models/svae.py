@@ -47,6 +47,11 @@ class SvaeConfig(NamedTuple):
     num_total: int = 1  # dataset size N for minibatch scaling
     jitter: float = 0.0  # added to J̃ diagonals if > 0
     activation: Callable = jnp.tanh
+    # MXU pass count for the NN matmuls: HIGHEST (full f32 accumulation,
+    # the parity-contract default) or DEFAULT (single-pass bf16, ~3-6x
+    # faster decoder for throughput-first configs). The PGM/conjugate path
+    # always stays HIGHEST.
+    nn_precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
 
 
 class SinPosterior(NamedTuple):
@@ -170,7 +175,9 @@ def forward(
     scale = config.num_total / n
 
     exp = gmm.expected_params(pgm_nat)
-    pot_h, pot_p = nets.encoder_apply(nn_params["encoder"], x, config.activation)
+    pot_h, pot_p = nets.encoder_apply(
+        nn_params["encoder"], x, config.activation, config.nn_precision
+    )
     post = sin_combine(pot_h, pot_p, exp, jitter=config.jitter)
     resp = jnp.exp(post.log_resp)
 
@@ -182,6 +189,7 @@ def forward(
         x[None, :, None, :],
         config.likelihood,
         config.activation,
+        config.nn_precision,
     )  # (S, N, K)
     recon_nk = jnp.mean(loglik, axis=0)  # (N, K)
     recon = scale * jnp.sum(resp * recon_nk)
@@ -202,6 +210,33 @@ def forward(
         suff_stats=stats,
         posterior=post,
     )
+
+
+def generate(
+    nn_params: dict,
+    pgm_nat: GmmNat,
+    key: jax.Array,
+    num_samples: int,
+    config: SvaeConfig,
+    sample_params: bool = False,
+):
+    """Generate data from the learned model: z ~ GMM posterior mixture,
+    x ~ decoder(z). Returns (x_params_or_means, z, labels); for Bernoulli
+    heads the returned x is the pixel probability map."""
+    from svax.pgm import gmm as gmm_mod
+
+    k_z, k_dec = jax.random.split(key)
+    z, labels = gmm_mod.sample_generative(
+        k_z, pgm_nat, num_samples, sample_params=sample_params
+    )
+    out = nets.decoder_apply(
+        nn_params["decoder"], z, config.likelihood, config.activation,
+        config.nn_precision,
+    )
+    if config.likelihood == "gaussian":
+        mean, _ = out
+        return mean, z, labels
+    return jax.nn.sigmoid(out), z, labels
 
 
 def init_params(

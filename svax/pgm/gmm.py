@@ -196,6 +196,45 @@ def stats_to_nat(stats: GmmSuffStats) -> GmmNat:
     )
 
 
+def sample_generative(
+    key: jax.Array, nat: GmmNat, num_samples: int, sample_params: bool = True
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Ancestral draws from the (posterior) mixture: returns (x, labels).
+
+    With ``sample_params`` the mixture parameters are drawn from q(θ)
+    (π ~ Dir, (μ_k, Λ_k) ~ NIW via Bartlett); otherwise the expected
+    parameters E[π], m_k, E[Σ_k] are used (the reference-style plug-in).
+    """
+    from svax.expfam import dirichlet as dir_mod
+    from svax.expfam import niw as niw_mod
+
+    k_pi, k_theta, k_cat, k_z = jax.random.split(key, 4)
+    alpha = dirichlet.natural_to_standard(nat.dir_nat)
+    std = niw.natural_to_standard(nat.niw_nat)
+    d = std.m.shape[-1]
+    if sample_params:
+        pi = dir_mod.sample(k_pi, alpha)
+        mu, lam = niw_mod.sample(k_theta, std)
+        from svax.ops import batched_linalg as bl
+
+        chol_lam = bl.cholesky(lam)
+    else:
+        pi = alpha / jnp.sum(alpha)
+        mu = std.m
+        cov = std.phi / jnp.maximum(std.nu - d - 1.0, 0.5)[..., None, None]
+        from svax.ops import batched_linalg as bl
+
+        chol_lam = bl.cholesky(bl.inv_psd(bl.cholesky(cov)))
+    labels = jax.random.categorical(
+        k_cat, jnp.log(pi), shape=(num_samples,)
+    )
+    eps = jax.random.normal(k_z, (num_samples, d), dtype=mu.dtype)
+    from svax.ops import batched_linalg as bl
+
+    x = mu[labels] + bl.solve_triu_vec(chol_lam[labels], eps)
+    return x, labels
+
+
 def kl_global(nat: GmmNat, prior: GmmNat) -> jnp.ndarray:
     """KL(q(π)‖p(π)) + Σ_k KL(q(μ_k,Λ_k)‖p(μ_k,Λ_k)) (§9.6 global term)."""
     kl_dir = dirichlet.kl(

@@ -121,30 +121,36 @@ class SvaeTrainer:
         chunk = tc.scan_chunk or min(max(tc.eval_every, 1), 100)
         step = self._build_step()
         if tc.data_parallel:
-            # shard_map programs are already jitted per-call inside fit loop.
-            runner = None
+            ndev = self._mesh.devices.size
+            if batch % ndev:
+                batch = (batch // ndev) * ndev or ndev
+            if tc.batch_size == 0 and n % ndev:
+                # Full-batch DP: trim to a shardable multiple of the mesh.
+                n = (n // ndev) * ndev
+                x_train = x_train[:n]
+                batch = n
+        if tc.data_parallel and batch >= n:
+            # scan OVER the shard_map'd step: the whole chunk stays
+            # device-resident with psums riding ICI inside the loop.
+            runner = make_scan_runner(step, chunk)
+        elif tc.data_parallel:
+            runner = None  # minibatch DP: per-step host loop below
+            step = jax.jit(step)
         elif batch >= n:
             runner = make_scan_runner(step, chunk)
         else:
             runner = make_minibatch_scan_runner(step, chunk)
         evaluate = jax.jit(svae_step.make_eval_fn(self.mc, self.prior))
-        jitted_step = jax.jit(step) if tc.data_parallel else None
 
         logger = JsonlLogger(tc.logfile or None)
         t = start
         while t < tc.steps:
             todo = min(chunk, tc.steps - t)
             k_run, k_chunk = jax.random.split(k_run)
-            if tc.data_parallel:
-                # Chunked host loop (shard_map + scan composition is left to
-                # a later optimization round).
+            if tc.data_parallel and runner is None:
                 for i in range(todo):
                     k_chunk, kb, ks = jax.random.split(k_chunk, 3)
-                    xb = (
-                        x_train[jax.random.choice(kb, n, (batch,), replace=False)]
-                        if batch < n
-                        else x_train
-                    )
+                    xb = x_train[jax.random.choice(kb, n, (batch,), replace=False)]
                     state, metrics = step(state, xb, ks)
                 last = {k: v for k, v in metrics.items()}
             elif batch >= n:

@@ -44,6 +44,20 @@ def test_minibatch_scan_fit():
     assert int(state.step) == 30
 
 
+def test_data_parallel_scan_fit():
+    """DP fit: lax.scan composed OVER the shard_map'd step on 8 devices."""
+    x_train, x_test = _data()
+    mc = SvaeConfig(latent_dim=2, num_components=4, num_samples=1, num_total=x_train.shape[0])
+    tc = TrainerConfig(
+        steps=20, eval_every=10, rho=0.3, encoder_hidden=(8,), decoder_hidden=(8,),
+        data_parallel=True,
+    )
+    trainer = SvaeTrainer(mc, tc, input_dim=2)
+    state = trainer.fit(x_train, x_test)
+    assert int(state.step) == 20
+    assert np.isfinite(float(state.pgm_nat.dir_nat.sum()))
+
+
 def test_checkpoint_resume_roundtrip(tmp_path):
     x_train, x_test = _data()
     mc = SvaeConfig(latent_dim=2, num_components=3, num_samples=1, num_total=x_train.shape[0])
