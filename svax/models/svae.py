@@ -52,6 +52,10 @@ class SvaeConfig(NamedTuple):
     # faster decoder for throughput-first configs). The PGM/conjugate path
     # always stays HIGHEST.
     nn_precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
+    # Rematerialize the SIN combine in the backward pass: the N×K×d×d
+    # intermediates dominate HBM at large batch/K; remat trades ~1 extra
+    # forward combine for dropping them from the residual set.
+    remat_combine: bool = False
 
 
 class SinPosterior(NamedTuple):
@@ -178,7 +182,15 @@ def forward(
     pot_h, pot_p = nets.encoder_apply(
         nn_params["encoder"], x, config.activation, config.nn_precision
     )
-    post = sin_combine(pot_h, pot_p, exp, jitter=config.jitter)
+    combine = sin_combine
+    if config.remat_combine:
+        combine = jax.checkpoint(
+            lambda h, p, e: sin_combine(h, p, e, jitter=config.jitter),
+            static_argnums=(),
+        )
+        post = combine(pot_h, pot_p, exp)
+    else:
+        post = sin_combine(pot_h, pot_p, exp, jitter=config.jitter)
     resp = jnp.exp(post.log_resp)
 
     # Reconstruction: S samples per (n, k), decoder batched over S·N·K.

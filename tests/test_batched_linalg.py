@@ -58,3 +58,48 @@ def test_jitter():
     a = jnp.zeros((2, 3, 3))
     j = bl.add_jitter(a, 0.5)
     np.testing.assert_allclose(np.asarray(j[0]), 0.5 * np.eye(3))
+
+
+def test_custom_vjps_match_autodiff_oracles(rng):
+    """The analytic backwards (docs/DESIGN.md) equal autodiff of the raw
+    unrolled recurrences — the compile-time/memory win must be free."""
+    import jax
+
+    d = 5
+    a = random_psd(rng, (3,), d)
+    A = jnp.asarray(a)
+    b = jnp.asarray(rng.standard_normal((3, d)))
+    Lb = jnp.asarray(rng.standard_normal((3, d, d)))
+    yb = jnp.asarray(rng.standard_normal((3, d)))
+
+    L, vjp_new = jax.vjp(bl.cholesky, A)
+    _, vjp_old = jax.vjp(bl._cholesky_unrolled, A)
+    np.testing.assert_allclose(
+        np.asarray(vjp_new(Lb)[0]), np.asarray(vjp_old(Lb)[0]), rtol=1e-9, atol=1e-12
+    )
+
+    def tril_raw(c, bb):
+        y = []
+        for i in range(d):
+            s = bb[..., i]
+            for k in range(i):
+                s = s - c[..., i, k] * y[k]
+            y.append(s / c[..., i, i])
+        return jnp.stack(y, axis=-1)
+
+    def triu_raw(c, bb):
+        x = [None] * d
+        for i in reversed(range(d)):
+            s = bb[..., i]
+            for k in range(i + 1, d):
+                s = s - c[..., k, i] * x[k]
+            x[i] = s / c[..., i, i]
+        return jnp.stack(x, axis=-1)
+
+    for fn, raw in [(bl.solve_tril_vec, tril_raw), (bl.solve_triu_vec, triu_raw)]:
+        out1, v1 = jax.vjp(fn, L, b)
+        out2, v2 = jax.vjp(raw, L, b)
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), rtol=1e-12)
+        g1, g2 = v1(yb), v2(yb)
+        np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]), rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]), rtol=1e-9, atol=1e-12)
