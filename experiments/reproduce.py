@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Run every BASELINE.json workload end-to-end and write a summary table.
+
+One command that exercises all five configs (scaled down via --quick for a
+smoke pass): pure-GMM VMP, pinwheel SVAE, Auto SVAE, MNIST SVAE, and the
+data-parallel large-K SVAE (on whatever devices are available). Writes
+``reproduce_summary.json`` and prints one row per workload.
+
+    python experiments/reproduce.py --quick --platform cpu
+    python experiments/reproduce.py            # full settings, TPU
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def run_gmm(args, results):
+    import jax
+    import jax.numpy as jnp
+
+    from svax.data import load_pinwheel
+    from svax.models import evaluation, gmm_baseline
+    from svax.pgm import gmm
+
+    train, test, labels, _ = load_pinwheel(seed=0, return_labels=True)
+    x = jnp.asarray(train, jnp.float32)
+    steps = 60 if args.quick else 300
+    prior = gmm.make_prior(10, 2, alpha=1.0, kappa=0.05)
+    state = gmm_baseline.init_state(jax.random.PRNGKey(0), prior, x)
+    step = jax.jit(gmm_baseline.make_train_step(prior, 1.0, x.shape[0]))
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step(state, x)
+    jax.block_until_ready(state.nat.dir_nat)
+    resp, _ = gmm.e_step_obs(x, gmm.expected_params(state.nat))
+    pred = evaluation.gmm_predictive_log_prob(state.nat, jnp.asarray(test, jnp.float32))
+    results["pinwheel-gmm"] = {
+        "steps": steps,
+        "steps_per_sec": round(steps / (time.perf_counter() - t0), 1),
+        "elbo": float(metrics["elbo"]),
+        "test_predictive_loglik": float(pred.mean()),
+        "cluster_purity": evaluation.cluster_purity(resp, labels),
+    }
+
+
+def run_svae(name, dataset, args, results, k=10, d=2, s=4, hidden=(50, 50),
+             batch=0, steps_full=2000, rho=0.05, dp=False):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from svax.data import load_dataset
+    from svax.models.svae import SvaeConfig
+    from svax.pgm import gmm
+    from svax.train import svae_step
+
+    train, test, meta = load_dataset(dataset, seed=0)
+    x = jnp.asarray(train, jnp.float32)
+    xt = jnp.asarray(test, jnp.float32)
+    n = x.shape[0]
+    # Quick mode keeps every pipeline exercised while staying cheap even on
+    # a 1-core CPU host: fewer steps, capped batches for the big configs.
+    steps = min(100 if args.quick else steps_full, steps_full)
+    if args.quick and batch > 128:
+        batch = 128
+        steps = 20
+    batch = batch or n
+    config = SvaeConfig(
+        latent_dim=d, num_components=k, num_samples=s,
+        likelihood=meta["likelihood"], num_total=n,
+    )
+    prior = gmm.make_prior(k, d, alpha=1.0, kappa=0.05)
+    opt = optax.adam(1e-3)
+    key = jax.random.PRNGKey(0)
+    state = svae_step.init_state(key, x.shape[1], config, prior, opt, hidden, hidden, data=x)
+
+    if dp and len(jax.devices()) > 1:
+        from svax.parallel import mesh as pmesh
+
+        m = pmesh.make_data_mesh()
+        ndev = m.devices.size
+        batch = max(ndev, (batch // ndev) * ndev)
+        step = pmesh.data_parallel_step(
+            svae_step.make_train_step(config, prior, opt, rho, axis_name="data"), m
+        )
+    else:
+        dp = False
+        step = jax.jit(svae_step.make_train_step(config, prior, opt, rho))
+    evaluate = jax.jit(svae_step.make_eval_fn(config, prior))
+
+    kk = key
+    t0 = time.perf_counter()
+    for t in range(steps):
+        kk, kb, ks = jax.random.split(kk, 3)
+        xb = x[jax.random.choice(kb, n, (batch,), replace=False)] if batch < n else x
+        state, metrics = step(state, xb, ks)
+    jax.block_until_ready(state.pgm_nat.dir_nat)
+    ev = evaluate(state, xt, kk)
+    results[name] = {
+        "steps": steps,
+        "data_parallel": dp,
+        "steps_per_sec": round(steps / (time.perf_counter() - t0), 1),
+        "elbo": float(metrics["elbo"]),
+        "test_elbo_per_point": float(ev["elbo_per_point"]),
+        "synthetic_data": bool(meta.get("synthetic", False)),
+    }
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--quick", action="store_true", help="smoke-scale steps")
+    p.add_argument("--platform", choices=["default", "cpu"], default="default")
+    p.add_argument("--out", type=str, default="reproduce_summary.json")
+    args = p.parse_args()
+
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    results: dict = {"devices": str(jax.devices())}
+    run_gmm(args, results)
+    run_svae("pinwheel-svae", "pinwheel", args, results)
+    run_svae("auto-svae", "auto", args, results, d=4, hidden=(100, 100), batch=64,
+             steps_full=5000, rho=0.2)
+    run_svae("mnist-svae", "mnist", args, results, d=8, s=1, hidden=(200, 200),
+             batch=256, steps_full=5000, rho=0.1)
+    run_svae("bigk-dp", "mnist", args, results, k=100, d=10, s=1,
+             hidden=(200, 200), batch=512, steps_full=1000, rho=0.1, dp=True)
+
+    for name, row in results.items():
+        if isinstance(row, dict):
+            print(name, json.dumps(row))
+    Path(args.out).write_text(json.dumps(results, indent=1))
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -14,9 +14,19 @@ from typing import IO, Any
 
 
 class JsonlLogger:
-    """Append-only JSONL metrics writer with wall-clock stamping."""
+    """Append-only JSONL metrics writer with wall-clock stamping.
 
-    def __init__(self, path: str | Path | None = None, echo: bool = True):
+    Optionally mirrors scalars to TensorBoard (``tensorboard_dir``) via
+    torch.utils.tensorboard when available — the TPU-era stand-in for the
+    reference's ``tf.summary`` (SURVEY.md §6 metrics row).
+    """
+
+    def __init__(
+        self,
+        path: str | Path | None = None,
+        echo: bool = True,
+        tensorboard_dir: str | Path | None = None,
+    ):
         self._fh: IO[str] | None = None
         if path:
             p = Path(path)
@@ -24,6 +34,14 @@ class JsonlLogger:
             self._fh = open(p, "a")
         self._echo = echo
         self._t0 = time.perf_counter()
+        self._tb = None
+        if tensorboard_dir:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(log_dir=str(tensorboard_dir))
+            except Exception:  # torch TB optional; JSONL is canonical
+                self._tb = None
 
     def log(self, step: int, **values: Any) -> dict:
         row = {"step": int(step), "wall_s": round(time.perf_counter() - self._t0, 3)}
@@ -38,12 +56,19 @@ class JsonlLogger:
         if self._fh:
             self._fh.write(line + "\n")
             self._fh.flush()
+        if self._tb is not None:
+            for k, v in row.items():
+                if k not in ("step", "wall_s") and isinstance(v, float):
+                    self._tb.add_scalar(k, v, step)
         return row
 
     def close(self) -> None:
         if self._fh:
             self._fh.close()
             self._fh = None
+        if self._tb is not None:
+            self._tb.close()
+            self._tb = None
 
     def __enter__(self):
         return self
