@@ -53,16 +53,18 @@ def main() -> None:
     )
     step = svae_step.make_train_step(config, prior, opt, rho=0.05)
 
-    chunk = 50
+    # Device-resident scan chunks: per-dispatch latency through the TPU
+    # tunnel is ~25 ms, so big chunks are required to measure the machine
+    # rather than the tunnel (measured 50→1272, 200→3247, 500→4695 steps/s).
+    chunk = 500
     runner = make_scan_runner(step, chunk)
 
     # Warm-up compile + one chunk (cold TPU compile can take ~2 min).
     state, metrics = runner(state, x, key)
     jax.block_until_ready(state.pgm_nat.dir_nat)
 
-    # Median-of-chunks timing: per-dispatch latency through the device
-    # tunnel is jittery, and the median reflects sustained throughput.
-    n_chunks = 20
+    # Median-of-chunks timing for jitter robustness.
+    n_chunks = 7
     times = []
     k = key
     for i in range(n_chunks):

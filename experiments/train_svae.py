@@ -51,6 +51,10 @@ def main() -> None:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--debug-nans", action="store_true",
                    help="raise on first NaN (jax_debug_nans)")
+    p.add_argument("--nn-precision", choices=["highest", "default"], default="highest",
+                   help="MXU precision for the nets (default=bf16 single pass)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize the SIN combine (large batch/K memory)")
     args = p.parse_args()
 
     from configs import apply_config
@@ -86,6 +90,12 @@ def main() -> None:
         num_samples=args.num_samples,
         likelihood=likelihood,
         num_total=n,
+        nn_precision=(
+            jax.lax.Precision.HIGHEST
+            if args.nn_precision == "highest"
+            else jax.lax.Precision.DEFAULT
+        ),
+        remat_combine=args.remat,
     )
     prior = gmm.make_prior(
         args.num_components, args.latent_dim, alpha=args.alpha, kappa=args.kappa
