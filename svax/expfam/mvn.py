@@ -60,7 +60,9 @@ def log_partition(nat: GaussianNat) -> jnp.ndarray:
 
 def log_prob(nat: GaussianNat, x: jnp.ndarray) -> jnp.ndarray:
     """log N(x | μ(h,J), Σ(h,J)) for x with shape (..., d)."""
-    quad = jnp.einsum("...i,...ij,...j->...", x, nat.prec, x)
+    quad = jnp.einsum(
+        "...i,...ij,...j->...", x, nat.prec, x, precision=jax.lax.Precision.HIGHEST
+    )
     return jnp.sum(nat.h * x, axis=-1) - 0.5 * quad - log_partition(nat)
 
 

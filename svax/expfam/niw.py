@@ -201,8 +201,9 @@ def sample(key, std: NiwStandard) -> tuple[jnp.ndarray, jnp.ndarray]:
     tril_mask = jnp.tril(jnp.ones((d, d), dtype=std.m.dtype), k=-1)
     a = normals * tril_mask + diag[..., None] * jnp.eye(d, dtype=std.m.dtype)
 
-    la = jnp.einsum("...ij,...jk->...ik", chol_v, a)
-    lam = jnp.einsum("...ik,...jk->...ij", la, la)
+    hi = jax.lax.Precision.HIGHEST
+    la = jnp.einsum("...ij,...jk->...ik", chol_v, a, precision=hi)
+    lam = jnp.einsum("...ik,...jk->...ij", la, la, precision=hi)
 
     # μ | Λ ~ N(m, (κΛ)⁻¹): backsolve with chol(κΛ).
     chol_kl = bl.cholesky(std.kappa[..., None, None] * lam)

@@ -92,8 +92,13 @@ def _cholesky_fwd(a):
 
 def _cholesky_bwd(chol, lbar):
     # P = Φ(Lᵀ L̄); M = L⁻ᵀ P L⁻¹; Ā = tril(M + Mᵀ, −1) + diag(M).
+    # HIGHEST precision: without it this einsum lowers to a bf16 batched
+    # matmul, costing both gradient accuracy and ~3.7 ms/step of f32↔bf16
+    # layout copies on the big-K config (seen in the v5e trace).
     p = _tril_half_diag(
-        jnp.einsum("...ji,...jk->...ik", chol, lbar)
+        jnp.einsum(
+            "...ji,...jk->...ik", chol, lbar, precision=jax.lax.Precision.HIGHEST
+        )
     )
     x = _solve_triu_mat(chol, p)  # L⁻ᵀ P
     m = jnp.swapaxes(_solve_triu_mat(chol, jnp.swapaxes(x, -1, -2)), -1, -2)
