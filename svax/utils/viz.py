@@ -46,6 +46,11 @@ def plot_gmm_clusters(
     phi = np.asarray(std.phi)
     nu = np.asarray(std.nu)
     d = m.shape[-1]
+    if d > 2:
+        # Project to the first two latent axes (marginal covariances).
+        x = np.asarray(x)[:, :2]
+        m = m[:, :2]
+        phi = phi[:, :2, :2]
     weights = np.asarray(resp).sum(0)
     weights = weights / weights.sum()
 
