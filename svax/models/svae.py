@@ -82,12 +82,15 @@ def sin_combine(
     pot_p: jnp.ndarray,
     exp: GmmExpected,
     jitter: float = 0.0,
+    axis_comp: str | None = None,
 ) -> SinPosterior:
     """Conjugate message-passing combine of encoder and PGM messages (§9.4).
 
     pot_h, pot_p: (N, d) diagonal encoder potential; exp: expected GMM
     naturals. Returns the (N, K) family of Gaussian posteriors and mixture
-    log-responsibilities.
+    log-responsibilities. With ``axis_comp``, exp holds a K-shard and the
+    responsibility softmax normalizes across the mesh axis (component
+    parallelism): one pmax + one psum per combine.
     """
     d = pot_h.shape[-1]
     eye = jnp.eye(d, dtype=pot_h.dtype)
@@ -108,7 +111,10 @@ def sin_combine(
         + 0.5 * jnp.sum(mean * h, axis=-1)
         - 0.5 * logdet_prec
     )
-    log_resp = jax.nn.log_softmax(log_rho, axis=-1)
+    if axis_comp is None:
+        log_resp = jax.nn.log_softmax(log_rho, axis=-1)
+    else:
+        log_resp = log_rho - gmm.lse_over_components(log_rho, axis_comp)[:, None]
     return SinPosterior(
         mean=mean, prec_chol=chol, cov=cov, log_resp=log_resp, logdet_prec=logdet_prec
     )
@@ -173,24 +179,33 @@ def forward(
     key: jax.Array,
     config: SvaeConfig,
     eps: jnp.ndarray | None = None,
+    axis_comp: str | None = None,
 ) -> SvaeOutputs:
-    """Full SVAE forward pass → structured ELBO + CVI payload (§4.1 stack)."""
+    """Full SVAE forward pass → structured ELBO + CVI payload (§4.1 stack).
+
+    With ``axis_comp`` the PGM naturals (and suff-stat outputs) are K-shards
+    over that mesh axis — component parallelism: each device decodes only
+    its components' samples, and the softmax/Σ_k reductions ride the axis.
+    The returned recon/local/global terms are comp-global (replicated).
+    """
     n = x.shape[0]
     scale = config.num_total / n
 
-    exp = gmm.expected_params(pgm_nat)
+    exp = gmm.expected_params(pgm_nat, axis_comp=axis_comp)
     pot_h, pot_p = nets.encoder_apply(
         nn_params["encoder"], x, config.activation, config.nn_precision
     )
     combine = sin_combine
     if config.remat_combine:
         combine = jax.checkpoint(
-            lambda h, p, e: sin_combine(h, p, e, jitter=config.jitter),
+            lambda h, p, e: sin_combine(
+                h, p, e, jitter=config.jitter, axis_comp=axis_comp
+            ),
             static_argnums=(),
         )
         post = combine(pot_h, pot_p, exp)
     else:
-        post = sin_combine(pot_h, pot_p, exp, jitter=config.jitter)
+        post = sin_combine(pot_h, pot_p, exp, jitter=config.jitter, axis_comp=axis_comp)
     resp = jnp.exp(post.log_resp)
 
     # Reconstruction: S samples per (n, k), decoder batched over S·N·K.
@@ -207,7 +222,11 @@ def forward(
     recon = scale * jnp.sum(resp * recon_nk)
 
     local = scale * jnp.sum(local_kl_term(post, exp))
-    global_kl = gmm.kl_global(pgm_nat, prior_nat)
+    if axis_comp is not None:
+        # Σ_k reductions completed across the component shards.
+        recon = jax.lax.psum(recon, axis_comp)
+        local = jax.lax.psum(local, axis_comp)
+    global_kl = gmm.kl_global(pgm_nat, prior_nat, axis_comp=axis_comp)
     elbo = recon - local - global_kl
 
     # CVI sufficient statistics from the structured posterior moments (§9.5).

@@ -67,6 +67,60 @@ def data_parallel_step(
     return jax.jit(sharded) if jit else sharded
 
 
+def make_data_comp_mesh(
+    data_size: int, comp_size: int, devices=None
+) -> Mesh:
+    """2-D mesh ("data", "comp"): batch sharding × component sharding."""
+    if devices is None:
+        devices = jax.devices()
+    assert len(devices) >= data_size * comp_size
+    arr = np.asarray(devices[: data_size * comp_size]).reshape(data_size, comp_size)
+    return Mesh(arr, ("data", "comp"))
+
+
+def data_comp_parallel_step(
+    step_builder: Callable,
+    prior,
+    mesh: Mesh,
+    jit: bool = True,
+) -> Callable:
+    """shard_map wrapper for component×data parallelism.
+
+    ``step_builder(prior_shard) → step(state, batch, key)`` builds the step
+    around a K-shard of the conjugate prior (the prior must be sharded
+    exactly like the variational naturals, so it enters shard_map as an
+    argument rather than a closure). Batch shards over "data", PGM naturals
+    over "comp" (leading K axis); NN params/optimizer stay replicated.
+    """
+
+    def body(prior_l, state, batch, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+        key = jax.random.fold_in(key, jax.lax.axis_index("comp"))
+        return step_builder(prior_l)(state, batch, key)
+
+    def specs_for_state(state):
+        return type(state)(
+            nn_params=P(),
+            opt_state=P(),
+            pgm_nat=jax.tree.map(lambda _: P("comp"), state.pgm_nat),
+            step=P(),
+        )
+
+    def wrapped(state, batch, key):
+        state_specs = specs_for_state(state)
+        prior_specs = jax.tree.map(lambda _: P("comp"), prior)
+        sharded = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(prior_specs, state_specs, P("data"), P()),
+            out_specs=(state_specs, P()),
+            check_vma=False,
+        )
+        return sharded(prior, state, batch, key)
+
+    return jax.jit(wrapped) if jit else wrapped
+
+
 def data_parallel_gmm_step(step: Callable, mesh: Mesh, axis: str = "data", jit: bool = True) -> Callable:
     """Same wrapper for the pure-GMM step signature (state, batch)."""
 

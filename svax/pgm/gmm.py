@@ -48,17 +48,63 @@ class GmmSuffStats(NamedTuple):
     scatter_stat: jnp.ndarray  # (K, d, d) S₂ = Σ_n r_nk E[z_n z_nᵀ]
 
 
-def expected_params(nat: GmmNat) -> GmmExpected:
-    """Compute the expected-parameter messages from the global naturals."""
+def expected_params(nat: GmmNat, axis_comp: str | None = None) -> GmmExpected:
+    """Compute the expected-parameter messages from the global naturals.
+
+    With ``axis_comp`` set, ``nat`` holds only this device's K-shard of the
+    components (component/expert parallelism over a mesh axis): the NIW
+    expectations are embarrassingly parallel per component, and only the
+    Dirichlet normalizer ψ(Σα) needs one scalar psum over the shard axis.
+    """
     alpha = dirichlet.natural_to_standard(nat.dir_nat)
     stats = niw.expected_stats_nat(nat.niw_nat)
+    if axis_comp is None:
+        log_pi = dirichlet.expected_log_pi(alpha)
+    else:
+        from jax.scipy.special import digamma
+
+        total = jax.lax.psum(jnp.sum(alpha, axis=-1), axis_comp)
+        log_pi = digamma(alpha) - digamma(total)
     return GmmExpected(
-        log_pi=dirichlet.expected_log_pi(alpha),
+        log_pi=log_pi,
         prec=stats.prec,
         prec_mean=stats.prec_mean,
         quad=stats.quad,
         logdet=stats.logdet,
     )
+
+
+def lse_over_components(log_rho: jnp.ndarray, axis_comp: str | None = None) -> jnp.ndarray:
+    """Row-wise logsumexp over the component axis, across shards if sharded.
+
+    log_rho (N, K_local) → (N,). With ``axis_comp``, the max and the
+    exp-sum ride the mesh axis so softmaxes normalize over ALL components.
+    """
+    m = jnp.max(log_rho, axis=-1)
+    if axis_comp is not None:
+        # The stabilizing max is a constant shift (any constant gives the
+        # exact same lse value and softmax gradient), so hide the pmax —
+        # which has no differentiation rule — behind a zero-derivative
+        # custom_jvp and run it on a gradient-free input.
+        m = _pmax_const(jax.lax.stop_gradient(m), axis_comp)
+    se = jnp.sum(jnp.exp(log_rho - m[:, None]), axis=-1)
+    if axis_comp is not None:
+        se = jax.lax.psum(se, axis_comp)
+    return m + jnp.log(se)
+
+
+from functools import partial as _partial  # noqa: E402
+
+
+@_partial(jax.custom_jvp, nondiff_argnums=(1,))
+def _pmax_const(m, axis_comp):
+    return jax.lax.pmax(m, axis_comp)
+
+
+@_pmax_const.defjvp
+def _pmax_const_jvp(axis_comp, primals, tangents):
+    (m,) = primals
+    return jax.lax.pmax(m, axis_comp), jnp.zeros_like(m)
 
 
 def make_prior(
@@ -235,13 +281,33 @@ def sample_generative(
     return x, labels
 
 
-def kl_global(nat: GmmNat, prior: GmmNat) -> jnp.ndarray:
-    """KL(q(π)‖p(π)) + Σ_k KL(q(μ_k,Λ_k)‖p(μ_k,Λ_k)) (§9.6 global term)."""
-    kl_dir = dirichlet.kl(
-        dirichlet.natural_to_standard(nat.dir_nat),
-        dirichlet.natural_to_standard(prior.dir_nat),
+def kl_global(nat: GmmNat, prior: GmmNat, axis_comp: str | None = None) -> jnp.ndarray:
+    """KL(q(π)‖p(π)) + Σ_k KL(q(μ_k,Λ_k)‖p(μ_k,Λ_k)) (§9.6 global term).
+
+    With ``axis_comp``, nat/prior hold K-shards; the Dirichlet KL couples
+    shards only through its Σα / lgamma(Σα) totals (one psum each), and the
+    NIW KLs sum across shards with one psum. Returns the FULL global KL,
+    replicated on every shard.
+    """
+    alpha_q = dirichlet.natural_to_standard(nat.dir_nat)
+    alpha_p = dirichlet.natural_to_standard(prior.dir_nat)
+    if axis_comp is None:
+        kl_dir = dirichlet.kl(alpha_q, alpha_p)
+        kl_niw = jnp.sum(niw.kl_nat(nat.niw_nat, prior.niw_nat))
+        return kl_dir + kl_niw
+
+    from jax.scipy.special import digamma, gammaln
+
+    sum_q = jax.lax.psum(jnp.sum(alpha_q, axis=-1), axis_comp)
+    sum_p = jax.lax.psum(jnp.sum(alpha_p, axis=-1), axis_comp)
+    elogpi = digamma(alpha_q) - digamma(sum_q)
+    per_k = (alpha_q - alpha_p) * elogpi - gammaln(alpha_q) + gammaln(alpha_p)
+    kl_dir = (
+        jax.lax.psum(jnp.sum(per_k, axis=-1), axis_comp)
+        + gammaln(sum_q)
+        - gammaln(sum_p)
     )
-    kl_niw = jnp.sum(niw.kl_nat(nat.niw_nat, prior.niw_nat))
+    kl_niw = jax.lax.psum(jnp.sum(niw.kl_nat(nat.niw_nat, prior.niw_nat)), axis_comp)
     return kl_dir + kl_niw
 
 

@@ -67,11 +67,22 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     rho: float | Callable,
     axis_name: str | None = None,
+    axis_comp: str | None = None,
 ) -> Callable:
-    """Build the jittable combined step(state, batch, key) → (state, metrics)."""
+    """Build the jittable combined step(state, batch, key) → (state, metrics).
+
+    ``axis_name`` shards the batch (data parallelism: psum of grads and
+    sufficient statistics); ``axis_comp`` shards the mixture components
+    (component/expert parallelism for large K: the PGM naturals and their
+    CVI updates are K-local, NN grads additionally psum over the component
+    axis since each shard sees only its components' reconstruction terms).
+    The two compose over a 2-D mesh.
+    """
 
     def loss_fn(nn_params, pgm_nat, batch, key):
-        out = svae.forward(nn_params, pgm_nat, prior, batch, key, config)
+        out = svae.forward(
+            nn_params, pgm_nat, prior, batch, key, config, axis_comp=axis_comp
+        )
         if axis_name is not None:
             # forward() scaled local sums by N/M_local = ndev · N/M_global;
             # dividing everything by ndev makes the psum over devices equal
@@ -83,14 +94,20 @@ def make_train_step(
         # Per-datapoint scaling keeps Adam step sizes dataset-size invariant.
         return -elbo_local / config.num_total, out
 
+    grad_axes = tuple(a for a in (axis_name, axis_comp) if a is not None)
+
     def step(state: SvaeTrainState, batch: jnp.ndarray, key: jax.Array):
         (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.nn_params, state.pgm_nat, batch, key
         )
         stats = out.suff_stats
+        if grad_axes:
+            # Each shard's NN grad is its local contribution (the psum
+            # transpose broadcasts cotangents); the replicated optimizer
+            # needs the sum over every sharded axis.
+            grads = jax.lax.psum(grads, grad_axes)
         if axis_name is not None:
             ndev = jax.lax.psum(1, axis_name)
-            grads = jax.lax.psum(grads, axis_name)
             loss = jax.lax.psum(loss, axis_name)
             stats = jax.lax.psum(
                 jax.tree.map(lambda s: s / ndev, stats), axis_name

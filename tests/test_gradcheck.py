@@ -30,6 +30,7 @@ def test_elbo_gradient_matches_finite_differences(key):
         np.random.default_rng(0).standard_normal((s, n, k, d)), dtype=jnp.float64
     )
 
+    @jax.jit
     def elbo_fn(nn):
         return svae.forward(nn, nat, prior, x, key, config, eps=eps).elbo
 
