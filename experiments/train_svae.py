@@ -41,6 +41,9 @@ def main() -> None:
     p.add_argument("--kappa", type=float, default=0.05)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--eval-every", type=int, default=200)
+    p.add_argument("--scan-chunk", type=int, default=0,
+                   help="run N steps per device-resident lax.scan chunk "
+                        "(0 = per-step dispatch; big speedup on TPU)")
     p.add_argument("--iw-samples", type=int, default=100,
                    help="importance-weighted final test log-lik samples (0=off)")
     p.add_argument("--platform", choices=["default", "cpu"], default="default")
@@ -151,30 +154,61 @@ def main() -> None:
     state_w, _ = step(state, x_train[:batch], k_run)
     jax.block_until_ready(state_w.pgm_nat.dir_nat)
 
+    def emit(t, metrics):
+        ev = evaluate(state, x_test, k_run)
+        row = {
+            "step": t,
+            "elbo": float(metrics["elbo"]),
+            "recon": float(metrics["recon"]),
+            "local_kl": float(metrics["local_kl"]),
+            "global_kl": float(metrics["global_kl"]),
+            "test_elbo_per_point": float(ev["elbo_per_point"]),
+        }
+        print(json.dumps(row))
+        if logf:
+            logf.write(json.dumps(row) + "\n")
+        if ckpt is not None:
+            ckpt.save(t, state, k_run)
+
     t0 = time.perf_counter()
-    for t in range(start_step, args.steps):
-        k_run, k_batch, k_step = jax.random.split(k_run, 3)
-        if batch < n:
-            idx = jax.random.choice(k_batch, n, (batch,), replace=False)
-            xb = x_train[idx]
-        else:
-            xb = x_train
-        state, metrics = step(state, xb, k_step)
-        if (t + 1) % args.eval_every == 0 or t == start_step:
-            ev = evaluate(state, x_test, k_run)
-            row = {
-                "step": t + 1,
-                "elbo": float(metrics["elbo"]),
-                "recon": float(metrics["recon"]),
-                "local_kl": float(metrics["local_kl"]),
-                "global_kl": float(metrics["global_kl"]),
-                "test_elbo_per_point": float(ev["elbo_per_point"]),
-            }
-            print(json.dumps(row))
-            if logf:
-                logf.write(json.dumps(row) + "\n")
-            if ckpt is not None:
-                ckpt.save(t + 1, state, k_run)
+    if args.scan_chunk > 0 and not args.dp:
+        from svax.train.loop import make_minibatch_scan_runner, make_scan_runner
+
+        raw_step = svae_step.make_train_step(config, prior, opt, rho)
+
+        def make_runners(length):
+            return (
+                make_scan_runner(raw_step, length),
+                make_minibatch_scan_runner(raw_step, length),
+            )
+
+        chunk = args.scan_chunk
+        runner_full, runner_mb = make_runners(chunk)
+        t = start_step
+        while t < args.steps:
+            todo = min(chunk, args.steps - t)
+            if todo != chunk:
+                runner_full, runner_mb = make_runners(todo)
+            k_run, k_batch, k_chunk = jax.random.split(k_run, 3)
+            if batch < n:
+                idx = jax.random.randint(k_batch, (todo, batch), 0, n)
+                state, metrics = runner_mb(state, x_train[idx], k_chunk)
+            else:
+                state, metrics = runner_full(state, x_train, k_chunk)
+            t += todo
+            last = {k: v[-1] for k, v in metrics.items()}
+            emit(t, last)
+    else:
+        for t in range(start_step, args.steps):
+            k_run, k_batch, k_step = jax.random.split(k_run, 3)
+            if batch < n:
+                idx = jax.random.choice(k_batch, n, (batch,), replace=False)
+                xb = x_train[idx]
+            else:
+                xb = x_train
+            state, metrics = step(state, xb, k_step)
+            if (t + 1) % args.eval_every == 0 or t == start_step:
+                emit(t + 1, metrics)
     jax.block_until_ready(state.pgm_nat.dir_nat)
     dt = time.perf_counter() - t0
     steps_run = args.steps - start_step
