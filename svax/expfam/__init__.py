@@ -13,5 +13,5 @@ public surface the reference's ``distributions/`` package is recalled to have
   ``KL(q‖p) = ⟨λ_q − λ_p, E_q[T]⟩ − A(λ_q) + A(λ_p)``
 """
 
-from svax.expfam import dirichlet, mvn, niw  # noqa: F401
+from svax.expfam import base, dirichlet, mvn, niw  # noqa: F401
 from svax.expfam.niw import NiwNat, NiwStandard  # noqa: F401

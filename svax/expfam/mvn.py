@@ -85,3 +85,17 @@ def expected_stats(mean: jnp.ndarray, cov: jnp.ndarray) -> tuple[jnp.ndarray, jn
     """E[z] = μ and E[zzᵀ] = Σ + μμᵀ (the CVI suff-stat moments, §9.5)."""
     outer = mean[..., :, None] * mean[..., None, :]
     return mean, cov + outer
+
+
+def kl(q: GaussianNat, p: GaussianNat) -> jnp.ndarray:
+    """KL(q ‖ p) between Gaussians in information form (Bregman form).
+
+    With true naturals λ = (h, −½J) against T = (z, zzᵀ):
+    KL = ⟨h_q − h_p, μ_q⟩ − ½⟨J_q − J_p, Σ_q + μ_qμ_qᵀ⟩ − A(q) + A(p).
+    """
+    mean_q, cov_q = natural_to_standard(q)
+    ezz = cov_q + mean_q[..., :, None] * mean_q[..., None, :]
+    inner = jnp.sum((q.h - p.h) * mean_q, axis=-1) - 0.5 * jnp.sum(
+        (q.prec - p.prec) * ezz, axis=(-2, -1)
+    )
+    return inner - log_partition(q) + log_partition(p)

@@ -38,6 +38,7 @@ class TrainerConfig:
     scan_chunk: int = 0  # 0 = auto (eval_every, capped at 100)
     seed: int = 0
     data_parallel: bool = False
+    component_shards: int = 1  # >1: shard K over a second mesh axis
     checkpoint_dir: str = ""
     logfile: str = ""
     encoder_hidden: tuple = (50, 50)
@@ -91,9 +92,18 @@ class SvaeTrainer:
         )
 
     def _build_step(self):
-        if self.tc.data_parallel:
-            from svax.parallel import mesh as pmesh
+        from svax.parallel import mesh as pmesh
 
+        if self.tc.data_parallel and self.tc.component_shards > 1:
+            n_comp = self.tc.component_shards
+            n_data = len(jax.devices()) // n_comp
+            self._mesh = pmesh.make_data_comp_mesh(n_data, n_comp)
+            builder = lambda prior_l: svae_step.make_train_step(  # noqa: E731
+                self.mc, prior_l, self.optimizer, self.rho,
+                axis_name="data", axis_comp="comp",
+            )
+            return pmesh.data_comp_parallel_step(builder, self.prior, self._mesh, jit=False)
+        if self.tc.data_parallel:
             self._mesh = pmesh.make_data_mesh()
             inner = svae_step.make_train_step(
                 self.mc, self.prior, self.optimizer, self.rho, axis_name="data"
@@ -121,7 +131,7 @@ class SvaeTrainer:
         chunk = tc.scan_chunk or min(max(tc.eval_every, 1), 100)
         step = self._build_step()
         if tc.data_parallel:
-            ndev = self._mesh.devices.size
+            ndev = self._mesh.shape["data"]
             if batch % ndev:
                 batch = (batch // ndev) * ndev or ndev
             if tc.batch_size == 0 and n % ndev:

@@ -109,3 +109,20 @@ def test_comp_sharded_svae_step_pgm_exact(key):
     # Grads/recon depend on per-shard noise; just require sane updates.
     for a in jax.tree.leaves(got_state.nn_params):
         assert np.isfinite(np.asarray(a)).all()
+
+
+def test_trainer_component_shards():
+    """SvaeTrainer drives the 2-D (data×comp) mesh end-to-end."""
+    from svax.train.trainer import SvaeTrainer, TrainerConfig
+
+    x_np = make_pinwheel_data(num_classes=4, num_per_class=16, seed=1)
+    x = jnp.asarray(x_np, dtype=jnp.float64)
+    mc = SvaeConfig(latent_dim=2, num_components=8, num_samples=1, num_total=x.shape[0])
+    tc = TrainerConfig(
+        steps=10, eval_every=5, rho=0.3, encoder_hidden=(8,), decoder_hidden=(8,),
+        data_parallel=True, component_shards=4,
+    )
+    trainer = SvaeTrainer(mc, tc, input_dim=2)
+    state = trainer.fit(x)
+    assert int(state.step) == 10
+    assert np.isfinite(float(state.pgm_nat.dir_nat.sum()))

@@ -63,6 +63,37 @@ def test_sample_gradients_flow(key):
     assert float(jnp.abs(g).sum()) > 0.0
 
 
+def test_kl_vs_closed_form(rng):
+    """Bregman-form Gaussian KL equals the textbook trace/logdet formula."""
+    d = 3
+    mq = rng.standard_normal(d)
+    mp = rng.standard_normal(d)
+    cq = random_cov(rng, (), d)
+    cp = random_cov(rng, (), d)
+    got = float(
+        mvn.kl(
+            mvn.standard_to_natural(jnp.asarray(mq), jnp.asarray(cq)),
+            mvn.standard_to_natural(jnp.asarray(mp), jnp.asarray(cp)),
+        )
+    )
+    cpinv = np.linalg.inv(cp)
+    diff = mp - mq
+    want = 0.5 * (
+        np.trace(cpinv @ cq)
+        + diff @ cpinv @ diff
+        - d
+        + np.linalg.slogdet(cp)[1]
+        - np.linalg.slogdet(cq)[1]
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+    assert float(
+        mvn.kl(
+            mvn.standard_to_natural(jnp.asarray(mq), jnp.asarray(cq)),
+            mvn.standard_to_natural(jnp.asarray(mq), jnp.asarray(cq)),
+        )
+    ) < 1e-10
+
+
 def test_product_of_gaussians_normalizer(rng):
     """A(h1+h2, J1+J2) − A1 − A2 = log ∫ N1·N2 (checked in 1-D closed form)."""
     m1, v1, m2, v2 = 0.3, 1.5, -0.7, 0.8
