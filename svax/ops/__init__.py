@@ -11,7 +11,7 @@ provides fused Pallas kernels for the GMM E-step with in-kernel reduction of
 weighted sufficient statistics.
 """
 
-from svax.ops import batched_linalg  # noqa: F401
+from svax.ops import batched_linalg, decoder_pallas, estep_pallas  # noqa: F401
 from svax.ops.batched_linalg import (  # noqa: F401
     add_jitter,
     cho_solve_mat,
