@@ -35,6 +35,8 @@ def main() -> None:
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--batch-size", type=int, default=0, help="0 = full batch")
     p.add_argument("--lr", type=float, default=1e-3, help="Adam lr for NN params")
+    p.add_argument("--weight-decay", type=float, default=0.0,
+                   help="AdamW decoupled weight decay on the NN params")
     p.add_argument("--rho", type=float, default=0.05, help="CVI step size")
     p.add_argument("--rho-decay", type=float, default=0.0)
     p.add_argument("--alpha", type=float, default=1.0)
@@ -103,7 +105,11 @@ def main() -> None:
     prior = gmm.make_prior(
         args.num_components, args.latent_dim, alpha=args.alpha, kappa=args.kappa
     )
-    opt = optax.adam(args.lr)
+    opt = (
+        optax.adamw(args.lr, weight_decay=args.weight_decay)
+        if args.weight_decay > 0.0
+        else optax.adam(args.lr)
+    )
     key = jax.random.PRNGKey(args.seed)
     k_init, k_run = jax.random.split(key)
     state = svae_step.init_state(

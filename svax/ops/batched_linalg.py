@@ -91,23 +91,72 @@ def _cholesky_fwd(a):
 
 
 def _cholesky_bwd(chol, lbar):
-    # P = Φ(Lᵀ L̄); M = L⁻ᵀ P L⁻¹; Ā = tril(M + Mᵀ, −1) + diag(M).
-    # HIGHEST precision: without it this einsum lowers to a bf16 batched
-    # matmul, costing both gradient accuracy and ~3.7 ms/step of f32↔bf16
-    # layout copies on the big-K config (seen in the v5e trace).
-    p = _tril_half_diag(
-        jnp.einsum(
-            "...ji,...jk->...ik", chol, lbar, precision=jax.lax.Precision.HIGHEST
-        )
-    )
-    x = _solve_triu_mat(chol, p)  # L⁻ᵀ P
-    m = jnp.swapaxes(_solve_triu_mat(chol, jnp.swapaxes(x, -1, -2)), -1, -2)
+    """Analytic backward: P = Φ(LᵀL̄); M = L⁻ᵀPL⁻¹; Ā = tril(M+Mᵀ,−1)+diag(M).
+
+    For small static d the whole computation unrolls ENTRY-wise over the
+    batch — the einsum/swapaxes formulation forced transposed layouts of
+    the N×K×d×d tensors on TPU (three ~41 MB layout copies plus a
+    transposed batched matmul ≈ 7 ms/step on the big-K config); the
+    unrolled form is pure fused elementwise work in the existing layout.
+    """
     d = chol.shape[-1]
-    eye = jnp.eye(d, dtype=chol.dtype)
-    abar = jnp.tril(m + jnp.swapaxes(m, -1, -2), k=-1) + (
-        jnp.diagonal(m, axis1=-2, axis2=-1)[..., None] * eye
-    )
-    return (abar,)
+    if d > UNROLL_MAX:
+        p = _tril_half_diag(
+            jnp.einsum(
+                "...ji,...jk->...ik", chol, lbar, precision=jax.lax.Precision.HIGHEST
+            )
+        )
+        x = _solve_triu_mat(chol, p)  # L⁻ᵀ P
+        m = jnp.swapaxes(_solve_triu_mat(chol, jnp.swapaxes(x, -1, -2)), -1, -2)
+        eye = jnp.eye(d, dtype=chol.dtype)
+        abar = jnp.tril(m + jnp.swapaxes(m, -1, -2), k=-1) + (
+            jnp.diagonal(m, axis1=-2, axis2=-1)[..., None] * eye
+        )
+        return (abar,)
+
+    L = [[chol[..., i, j] for j in range(d)] for i in range(d)]
+    Lb = [[lbar[..., i, j] for j in range(d)] for i in range(d)]
+    # P = Φ(Lᵀ L̄): lower triangle, diagonal halved. L[j][i] = 0 for j < i.
+    P = [[None] * d for _ in range(d)]
+    for i in range(d):
+        for k in range(d):
+            s = L[i][i] * Lb[i][k]
+            for j in range(i + 1, d):
+                s = s + L[j][i] * Lb[j][k]
+            if k == i:
+                s = 0.5 * s
+            P[i][k] = s if k <= i else None
+    zero = jnp.zeros_like(chol[..., 0, 0])
+    Pf = [[P[i][k] if k <= i else zero for k in range(d)] for i in range(d)]
+    # X = L⁻ᵀ P: back-substitution over rows (X[i] depends on X[k>i]).
+    X = [[None] * d for _ in range(d)]
+    for i in reversed(range(d)):
+        for c in range(d):
+            s = Pf[i][c]
+            for k in range(i + 1, d):
+                s = s - L[k][i] * X[k][c]
+            X[i][c] = s / L[i][i]
+    # M = X L⁻¹: back-substitution over columns (M[:,c] depends on M[:,k>c]).
+    M = [[None] * d for _ in range(d)]
+    for c in reversed(range(d)):
+        for i in range(d):
+            s = X[i][c]
+            for k in range(c + 1, d):
+                s = s - M[i][k] * L[k][c]
+            M[i][c] = s / L[c][c]
+    # Ā = tril(M + Mᵀ, −1) + diag(M).
+    rows = []
+    for i in range(d):
+        row = []
+        for j in range(d):
+            if j < i:
+                row.append(M[i][j] + M[j][i])
+            elif j == i:
+                row.append(M[i][i])
+            else:
+                row.append(zero)
+        rows.append(jnp.stack(row, axis=-1))
+    return (jnp.stack(rows, axis=-2),)
 
 
 cholesky.defvjp(_cholesky_fwd, _cholesky_bwd)
