@@ -210,14 +210,20 @@ def forward(
 
     # Reconstruction: S samples per (n, k), decoder batched over S·N·K.
     z = sample_posterior(key, post, config.num_samples, eps=eps)  # (S, N, K, d)
-    loglik = nets.log_likelihood(
-        nn_params["decoder"],
-        z,
-        x[None, :, None, :],
-        config.likelihood,
-        config.activation,
-        config.nn_precision,
-    )  # (S, N, K)
+    if config.likelihood == "bernoulli":
+        # x-free big-logits formulation — measurably faster (nets docstring).
+        loglik = nets.bernoulli_loglik_decomposed(
+            nn_params["decoder"], z, x, config.activation, config.nn_precision
+        )
+    else:
+        loglik = nets.log_likelihood(
+            nn_params["decoder"],
+            z,
+            x[None, :, None, :],
+            config.likelihood,
+            config.activation,
+            config.nn_precision,
+        )  # (S, N, K)
     recon_nk = jnp.mean(loglik, axis=0)  # (N, K)
     recon = scale * jnp.sum(resp * recon_nk)
 
