@@ -28,7 +28,7 @@ def main() -> None:
     p.add_argument("--num-samples", "-S", type=int, default=4)
     p.add_argument("--hidden", type=int, nargs="+", default=[50, 50])
     p.add_argument("--steps", type=int, default=100)
-    p.add_argument("--nn-precision", choices=["highest", "default"], default="highest")
+    p.add_argument("--nn-precision", choices=["highest", "high", "default"], default="highest")
     args = p.parse_args()
 
     import jax
@@ -50,11 +50,11 @@ def main() -> None:
         num_samples=args.num_samples,
         likelihood=meta["likelihood"],
         num_total=n,
-        nn_precision=(
-            jax.lax.Precision.HIGHEST
-            if args.nn_precision == "highest"
-            else jax.lax.Precision.DEFAULT
-        ),
+        nn_precision={
+            "highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT,
+        }[args.nn_precision],
     )
     prior = gmm.make_prior(args.num_components, args.latent_dim)
     opt = optax.adam(1e-3)

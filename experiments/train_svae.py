@@ -56,8 +56,11 @@ def main() -> None:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--debug-nans", action="store_true",
                    help="raise on first NaN (jax_debug_nans)")
-    p.add_argument("--nn-precision", choices=["highest", "default"], default="highest",
-                   help="MXU precision for the nets (default=bf16 single pass)")
+    p.add_argument("--nn-precision", choices=["highest", "high", "default"],
+                   default="high",
+                   help="MXU precision for the nets: highest=f32 (6 bf16 "
+                        "passes), high=bf16x3 (~1e-7 rel error, default), "
+                        "default=single-pass bf16")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize the SIN combine (large batch/K memory)")
     args = p.parse_args()
@@ -95,11 +98,11 @@ def main() -> None:
         num_samples=args.num_samples,
         likelihood=likelihood,
         num_total=n,
-        nn_precision=(
-            jax.lax.Precision.HIGHEST
-            if args.nn_precision == "highest"
-            else jax.lax.Precision.DEFAULT
-        ),
+        nn_precision={
+            "highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT,
+        }[args.nn_precision],
         remat_combine=args.remat,
     )
     prior = gmm.make_prior(
