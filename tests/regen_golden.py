@@ -22,11 +22,20 @@ from tests.test_parity import _gmm_trajectory  # noqa: E402
 
 
 def main() -> None:
-    golden = Path(__file__).parent / "golden" / "gmm_pinwheel_f64.json"
-    golden.parent.mkdir(exist_ok=True)
+    from tests.test_parity import _svae_trajectory
+
+    golden_dir = Path(__file__).parent / "golden"
+    golden_dir.mkdir(exist_ok=True)
     values = _gmm_trajectory(jnp.float64, steps=25)
-    golden.write_text(json.dumps([round(float(v), 6) for v in values.tolist()]))
-    print(f"wrote {golden} ({len(values)} steps, final={values[-1]:.3f})")
+    (golden_dir / "gmm_pinwheel_f64.json").write_text(
+        json.dumps([round(float(v), 6) for v in values.tolist()])
+    )
+    print(f"wrote gmm golden ({len(values)} steps, final={values[-1]:.3f})")
+    svae_values = _svae_trajectory()
+    (golden_dir / "svae_pinwheel_f64.json").write_text(
+        json.dumps([round(float(v), 6) for v in svae_values.tolist()])
+    )
+    print(f"wrote svae golden ({len(svae_values)} steps, final={svae_values[-1]:.3f})")
 
 
 if __name__ == "__main__":
