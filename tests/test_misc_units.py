@@ -1,0 +1,67 @@
+"""Small units: config overlay, metrics logger, viz smoke, guards."""
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from svax.train.metrics import JsonlLogger, read_jsonl
+from svax.utils import guards
+
+
+def test_jsonl_logger_roundtrip(tmp_path):
+    path = tmp_path / "m.jsonl"
+    with JsonlLogger(path, echo=False) as lg:
+        lg.log(1, elbo=-10.0, note="warm")
+        lg.log(2, elbo=-9.0)
+    rows = read_jsonl(path)
+    assert [r["step"] for r in rows] == [1, 2]
+    assert rows[1]["elbo"] == -9.0
+    assert "wall_s" in rows[0]
+
+
+def test_apply_config_cli_override():
+    import argparse
+
+    from configs import apply_config
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="pinwheel-svae")
+    p.add_argument("--steps", type=int, default=2000)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--rho", type=float, default=0.05)
+    # User explicitly set --steps; config default should NOT clobber it.
+    args = p.parse_args(["--steps", "123"])
+    apply_config(args, p)
+    assert args.steps == 123
+    assert args.rho == 0.05  # config value matches parser default here
+
+
+def test_guards_assert_finite():
+    guards.assert_finite({"a": jnp.ones(3)}, "ok")
+    with pytest.raises(FloatingPointError):
+        guards.assert_finite({"a": jnp.asarray([1.0, float("nan")])}, "bad")
+    assert int(guards.count_nonfinite({"a": jnp.asarray([1.0, float("inf")])})) == 1
+
+
+def test_viz_smoke(tmp_path):
+    import jax
+
+    from svax.data import make_pinwheel_data
+    from svax.pgm import gmm
+    from svax.utils import viz
+
+    x = make_pinwheel_data(num_classes=3, num_per_class=15, seed=0)
+    prior = gmm.make_prior(4, 2, dtype=jnp.float64)
+    nat = gmm.init_variational(jax.random.PRNGKey(0), prior, jnp.asarray(x))
+    resp, _ = gmm.e_step_obs(jnp.asarray(x), gmm.expected_params(nat))
+    out = tmp_path / "clusters.png"
+    viz.plot_gmm_clusters(x, np.asarray(resp), nat, out)
+    assert out.exists() and out.stat().st_size > 1000
+
+    log = tmp_path / "log.jsonl"
+    log.write_text("\n".join(json.dumps({"step": i, "elbo": -float(i)}) for i in range(3)))
+    curve = tmp_path / "curve.png"
+    viz.plot_training_curves(log, curve, keys=("elbo",))
+    assert curve.exists()
