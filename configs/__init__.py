@@ -83,18 +83,41 @@ CONFIGS: dict[str, dict] = {
 }
 
 
-def apply_config(args, parser) -> None:
+def _explicit_dests(parser, argv) -> set[str]:
+    """Dests the user actually typed, via a SUPPRESS-defaults re-parse.
+
+    Re-parsing with every default set to ``argparse.SUPPRESS`` leaves only
+    explicitly-provided flags in the namespace — so ``--rho 0.05`` is
+    recognized as explicit even when 0.05 equals the parser default
+    (value-comparison, the old scheme, silently clobbered it).
+    """
+    import argparse
+
+    saved = [(a, a.default) for a in parser._actions]
+    try:
+        for a in parser._actions:
+            a.default = argparse.SUPPRESS
+        ns, _ = parser.parse_known_args(argv)
+        return set(vars(ns))
+    finally:
+        for a, d in saved:
+            a.default = d
+
+
+def apply_config(args, parser, argv=None) -> None:
     """Overlay a named config onto argparse results, CLI flags win.
 
-    A flag wins over the config only when the user supplied it explicitly
-    (detected by comparing against parser defaults).
+    ``argv`` must be the same argument list ``args`` was parsed from
+    (defaults to ``sys.argv[1:]``). A flag wins over the config exactly
+    when the user supplied it explicitly.
     """
     if not getattr(args, "config", None):
         return
+    import sys
+
+    explicit = _explicit_dests(parser, sys.argv[1:] if argv is None else argv)
     cfg = CONFIGS[args.config]
     for key, value in cfg.items():
         dest = key.replace("-", "_")
-        if not hasattr(args, dest):
-            continue
-        if getattr(args, dest) == parser.get_default(dest):
+        if hasattr(args, dest) and dest not in explicit:
             setattr(args, dest, value)

@@ -69,9 +69,13 @@ def make_train_step(
         local = scale * jnp.sum(evidence)
         if axis_name is not None:
             local = jax.lax.psum(local, axis_name)
+        # Both ELBO terms are evaluated at the SAME (pre-update) naturals —
+        # the bound at state.nat, i.e. the metric for the parameters the
+        # step consumed (ADVICE r1: the earlier new_nat KL made it a lagged
+        # hybrid that was the bound of no single parameter setting).
         metrics = {
             "local_evidence": local,
-            "elbo": local - gmm.kl_global(new_nat, prior),
+            "elbo": local - gmm.kl_global(state.nat, prior),
             "rho": jnp.asarray(rho_t),
         }
         return GmmTrainState(nat=new_nat, step=state.step + 1), metrics

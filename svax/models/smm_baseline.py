@@ -52,9 +52,10 @@ def make_train_step(
         local = scale * jnp.sum(evidence)
         if axis_name is not None:
             local = jax.lax.psum(local, axis_name)
+        # Same-naturals convention as gmm_baseline: the bound at state.nat.
         metrics = {
             "local_evidence": local,
-            "elbo": local - gmm.kl_global(new_nat, prior),
+            "elbo": local - gmm.kl_global(state.nat, prior),
             "rho": jnp.asarray(rho_t),
         }
         return SmmTrainState(nat=new_nat, step=state.step + 1), metrics

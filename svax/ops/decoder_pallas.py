@@ -43,8 +43,8 @@ def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("tile_m",))
-def _rowsum_fwd_call(h2, w, b2d, tile_m: int):
+@functools.partial(jax.jit, static_argnames=("tile_m", "interpret"))
+def _rowsum_fwd_call(h2, w, b2d, tile_m: int, interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -69,11 +69,12 @@ def _rowsum_fwd_call(h2, w, b2d, tile_m: int):
         ],
         out_specs=pl.BlockSpec((tile_m, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_pad, 128), jnp.float32),
+        interpret=interpret,
     )(h2, w, b2d)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_m",))
-def _rowsum_bwd_call(h2, w, b2d, sbar, tile_m: int):
+@functools.partial(jax.jit, static_argnames=("tile_m", "interpret"))
+def _rowsum_bwd_call(h2, w, b2d, sbar, tile_m: int, interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -125,6 +126,7 @@ def _rowsum_bwd_call(h2, w, b2d, sbar, tile_m: int):
             jax.ShapeDtypeStruct((dh_pad, d_pad), jnp.float32),
             jax.ShapeDtypeStruct((8, d_pad), jnp.float32),
         ),
+        interpret=interpret,
     )(h2, w, b2d, sbar)
 
 
@@ -142,25 +144,25 @@ def _pad_rowsum_operands(h2, w, b, tile_m):
     return hp, wp, bp, (m, dh, d)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _rowsum_logsig_neg(h2, w, b, tile_m: int):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _rowsum_logsig_neg(h2, w, b, tile_m: int, interpret: bool = False):
     """s(H)_m = Σ_D logσ(−(H W + b)); H (M, Dh) flat rows; TPU-fused."""
     hp, wp, bp, (m, dh, d) = _pad_rowsum_operands(h2, w, b, tile_m)
-    s = _rowsum_fwd_call(hp, wp, bp, tile_m)
+    s = _rowsum_fwd_call(hp, wp, bp, tile_m, interpret=interpret)
     return s[:m, 0].astype(h2.dtype)
 
 
-def _rowsum_fwd(h2, w, b, tile_m):
-    return _rowsum_logsig_neg(h2, w, b, tile_m), (h2, w, b)
+def _rowsum_fwd(h2, w, b, tile_m, interpret):
+    return _rowsum_logsig_neg(h2, w, b, tile_m, interpret), (h2, w, b)
 
 
-def _rowsum_bwd(tile_m, res, sbar):
+def _rowsum_bwd(tile_m, interpret, res, sbar):
     h2, w, b = res
     hp, wp, bp, (m, dh, d) = _pad_rowsum_operands(h2, w, b, tile_m)
     gp = jnp.zeros((hp.shape[0], 128), jnp.float32)
     gp = gp.at[:m, :].set(sbar.astype(jnp.float32)[:, None])
     # Only column 0 of g is read in-kernel; replication above is harmless.
-    hbar, wbar, bbar = _rowsum_bwd_call(hp, wp, bp, gp, tile_m)
+    hbar, wbar, bbar = _rowsum_bwd_call(hp, wp, bp, gp, tile_m, interpret=interpret)
     return (
         hbar[:m, :dh].astype(h2.dtype),
         wbar[:dh, :d].astype(w.dtype),
@@ -171,17 +173,20 @@ def _rowsum_bwd(tile_m, res, sbar):
 _rowsum_logsig_neg.defvjp(_rowsum_fwd, _rowsum_bwd)
 
 
-def fused_bernoulli_loglik(h, w, b, x, tile_m: int = 512):
+def fused_bernoulli_loglik(h, w, b, x, tile_m: int = 512, interpret: bool = False):
     """Fused last-layer + Bernoulli log-lik: (N,R,Dh)·(Dh,D)+b vs x → (N,R).
 
     Off-TPU this is the jnp twin. On TPU: the x-term is two small XLA
     matmuls, the big logits live only inside the row-sum kernel.
+    ``interpret=True`` forces the fused path with the kernels run through
+    the Pallas interpreter on any backend (the CI path that executes the
+    real kernel bodies, SURVEY.md §5).
     """
-    if jax.default_backend() != "tpu":
+    if not interpret and jax.default_backend() != "tpu":
         return bernoulli_loglik_reference(h, w, b, x)
     n, r, dh = h.shape
     y = jnp.dot(x, w.T, precision=_HI)  # (N, Dh)
     c = jnp.dot(x, b, precision=_HI)  # (N,)
     t = jnp.einsum("nrh,nh->nr", h, y, precision=_HI) + c[:, None]
-    s = _rowsum_logsig_neg(h.reshape(n * r, dh), w, b, tile_m).reshape(n, r)
+    s = _rowsum_logsig_neg(h.reshape(n * r, dh), w, b, tile_m, interpret).reshape(n, r)
     return t + s

@@ -86,8 +86,10 @@ def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("tile_n", "d", "d_pad"))
-def _fused_kernel_call(xt_pad, wt_slots, mask_pad, tile_n: int, d: int, d_pad: int):
+@functools.partial(jax.jit, static_argnames=("tile_n", "d", "d_pad", "interpret"))
+def _fused_kernel_call(
+    xt_pad, wt_slots, mask_pad, tile_n: int, d: int, d_pad: int, interpret: bool = False
+):
     """Transposed, slot-aligned fused kernel.
 
     Every logical coefficient/statistic block lives in its own 128-lane
@@ -172,6 +174,7 @@ def _fused_kernel_call(xt_pad, wt_slots, mask_pad, tile_n: int, d: int, d_pad: i
             jax.ShapeDtypeStruct((k_pad, slots_lanes), jnp.float32),
             jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
         ),
+        interpret=interpret,
     )(xt_pad, wt_slots, mask_pad)
     return stats_t, evidence
 
@@ -182,6 +185,7 @@ def e_step_stats_fused(
     scale=1.0,
     tile_n: int = 512,
     interpret_fallback: bool = True,
+    interpret: bool = False,
 ) -> tuple[GmmSuffStats, jnp.ndarray]:
     """Fused Pallas E-step+stats. Same contract as the reference twin.
 
@@ -189,15 +193,22 @@ def e_step_stats_fused(
     Pads N to the tile size and K/F to the 128-lane boundary; padded
     components get −inf logits via the packed-coefficient convention (their
     W columns are −1e30 in the constant row, so softmax zeroes them).
+
+    ``interpret=True`` runs the ACTUAL kernel body through the Pallas
+    interpreter on any backend — the CI path that executes the Mosaic
+    program (padding, masking, slot layout, accumulation) off-TPU, per
+    SURVEY.md §5 ("the reference impl stays in-tree as the interpret-mode
+    oracle").
     """
-    backend = jax.default_backend()
-    if interpret_fallback and backend not in ("tpu",):
-        return e_step_stats_reference(x, exp, scale)
-    return _fused_entry(x, exp, scale, tile_n)
+    if not interpret:
+        backend = jax.default_backend()
+        if interpret_fallback and backend not in ("tpu",):
+            return e_step_stats_reference(x, exp, scale)
+    return _fused_entry(x, exp, scale, tile_n, interpret)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_n",))
-def _fused_entry(x, exp, scale, tile_n: int):
+@functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
+def _fused_entry(x, exp, scale, tile_n: int, interpret: bool = False):
     """Jitted pack → kernel → unpack (one dispatch end-to-end)."""
     n, d = x.shape
     k = exp.log_pi.shape[0]
@@ -227,7 +238,9 @@ def _fused_entry(x, exp, scale, tile_n: int):
     xt_pad = jnp.zeros((d_pad, n_pad), dtype=jnp.float32).at[:d, :n].set(x32.T)
     mask = jnp.zeros((8, n_pad), dtype=jnp.float32).at[:, :n].set(1.0)
 
-    stats_t, evidence = _fused_kernel_call(xt_pad, wt, mask, tile, d, d_pad)
+    stats_t, evidence = _fused_kernel_call(
+        xt_pad, wt, mask, tile, d, d_pad, interpret=interpret
+    )
     counts = stats_t[:k, 0]
     mean_stat = stats_t[:k, 8 : 8 + d]
     scatter = jnp.stack(

@@ -32,10 +32,20 @@ def test_apply_config_cli_override():
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--rho", type=float, default=0.05)
     # User explicitly set --steps; config default should NOT clobber it.
-    args = p.parse_args(["--steps", "123"])
-    apply_config(args, p)
+    argv = ["--steps", "123"]
+    args = p.parse_args(argv)
+    apply_config(args, p, argv=argv)
     assert args.steps == 123
     assert args.rho == 0.05  # config value matches parser default here
+    assert args.lr == 1e-3  # untyped flag takes the config value
+
+    # Explicitly passing a value EQUAL to the parser default must still win
+    # (ADVICE round 1: value-comparison clobbered it). pinwheel-svae sets
+    # steps=5000; the user's explicit --steps 2000 (== parser default) stays.
+    argv = ["--steps", "2000"]
+    args = p.parse_args(argv)
+    apply_config(args, p, argv=argv)
+    assert args.steps == 2000
 
 
 def test_guards_assert_finite():
