@@ -37,6 +37,15 @@ def main() -> None:
     )
     print(f"wrote svae golden ({len(svae_values)} steps, final={svae_values[-1]:.3f})")
 
+    from tests.test_parity_shapes import _cvi_trajectory
+
+    for shape in ("auto", "mnist"):
+        vals = _cvi_trajectory(shape, jnp.float64)
+        (golden_dir / f"svae_{shape}_f64.json").write_text(
+            json.dumps([round(float(v), 6) for v in vals.tolist()])
+        )
+        print(f"wrote svae {shape}-shape golden ({len(vals)} steps, final={vals[-1]:.3f})")
+
 
 if __name__ == "__main__":
     main()
