@@ -156,7 +156,8 @@ def main() -> None:
 
     logf = open(args.logfile, "a") if args.logfile else None
     print(
-        f"devices={jax.devices()} dataset={args.dataset} n={n} D={input_dim} "
+        f"devices={jax.devices()} dataset={args.dataset} "
+        f"synthetic={meta.get('synthetic', False)} n={n} D={input_dim} "
         f"K={args.num_components} L={args.latent_dim} likelihood={likelihood}"
     )
 
