@@ -3,14 +3,17 @@
 The library-level equivalent of the reference's recalled ``main.py`` session
 loop (SURVEY.md §2 L4), built around the TPU-first execution model: the hot
 path runs in scan chunks (svax.train.loop) with host work only at eval/
-checkpoint boundaries. Covers the SVAE; the GMM/SMM/VAE baselines use their
-``make_train_step`` directly (their loops are three lines).
+checkpoint boundaries. ONE engine (``Trainer``) owns the loop mechanics —
+scan chunking, minibatch stacking, data-parallel shard_map wrapping,
+checkpoint/resume, JSONL logging — and every workload (SVAE, pure GMM, SMM,
+plain VAE) plugs in through four small hooks, so the harness story is the
+same across model families (VERDICT r1 #8).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any, Callable
+from dataclasses import dataclass
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -47,72 +50,69 @@ class TrainerConfig:
     prior_kappa: float = 0.05
 
 
-class SvaeTrainer:
-    """End-to-end SVAE training with scan-chunked device-resident loops."""
+def _rho_schedule(tc: TrainerConfig) -> float | Callable:
+    if tc.rho_decay == 0.0:
+        return tc.rho
+    return lambda t: tc.rho / (1.0 + tc.rho_decay * t)
 
-    def __init__(
-        self,
-        model_config: SvaeConfig,
-        trainer_config: TrainerConfig,
-        input_dim: int,
-        prior: GmmNat | None = None,
-    ):
-        self.mc = model_config
+
+class Trainer:
+    """Generic scan-chunked training engine.
+
+    Subclass hooks:
+      * ``init(key, data) → state`` — build the initial train state;
+      * ``make_step(axis_name=None) → step(state, batch, key)`` — the
+        jittable train step; when ``axis_name`` is given the step must psum
+        its stats/grads over that mesh axis (the DP contract);
+      * ``make_comp_dp_step() → step`` — optional 2-D data×component mesh
+        path (SVAE only today);
+      * ``make_eval() → fn(state, x_test, key) → dict`` — optional held-out
+        metrics, merged into each logged row.
+
+    The engine owns everything else. Steps for models that don't consume a
+    PRNG key are adapted by the subclass (the key argument is ignored), so
+    the scan runners and shard_map wrappers are shared unchanged.
+    """
+
+    def __init__(self, trainer_config: TrainerConfig):
         self.tc = trainer_config
-        self.input_dim = input_dim
-        self.prior = prior if prior is not None else gmm.make_prior(
-            model_config.num_components,
-            model_config.latent_dim,
-            alpha=trainer_config.prior_alpha,
-            kappa=trainer_config.prior_kappa,
-        )
-        self.optimizer = optax.adam(trainer_config.lr)
-        tc = trainer_config
-        self.rho: float | Callable = (
-            tc.rho
-            if tc.rho_decay == 0.0
-            else (lambda t: tc.rho / (1.0 + tc.rho_decay * t))
+        self._num_total: int = 0  # set by fit() from the training set
+
+    # -- hooks ------------------------------------------------------------
+    def init(self, key: jax.Array, data):
+        raise NotImplementedError
+
+    def make_step(self, axis_name: str | None = None) -> Callable:
+        raise NotImplementedError
+
+    def make_comp_dp_step(self) -> Callable:
+        raise NotImplementedError(
+            f"{type(self).__name__} has no component-parallel path"
         )
 
-    def init(self, key: jax.Array, data: jnp.ndarray | None = None):
-        if data is not None and self.prior.dir_nat.dtype != data.dtype:
-            # Keep the whole state in the data's dtype (e.g. float64 oracle
-            # runs on CPU) so the scan carry stays type-stable.
-            self.prior = jax.tree.map(lambda a: a.astype(data.dtype), self.prior)
-        return svae_step.init_state(
-            key,
-            self.input_dim,
-            self.mc,
-            self.prior,
-            self.optimizer,
-            encoder_hidden=self.tc.encoder_hidden,
-            decoder_hidden=self.tc.decoder_hidden,
-            data=data,
-            dtype=data.dtype if data is not None else jnp.float32,
-        )
+    def make_eval(self) -> Callable | None:
+        return None
 
-    def _build_step(self):
+    def sync_dtype(self, data) -> None:
+        """Align any model-side dtypes (e.g. the conjugate prior) to the data."""
+
+    # -- engine -----------------------------------------------------------
+    def _build_step(self) -> Callable:
         from svax.parallel import mesh as pmesh
 
         if self.tc.data_parallel and self.tc.component_shards > 1:
-            n_comp = self.tc.component_shards
-            n_data = len(jax.devices()) // n_comp
-            self._mesh = pmesh.make_data_comp_mesh(n_data, n_comp)
-            builder = lambda prior_l: svae_step.make_train_step(  # noqa: E731
-                self.mc, prior_l, self.optimizer, self.rho,
-                axis_name="data", axis_comp="comp",
-            )
-            return pmesh.data_comp_parallel_step(builder, self.prior, self._mesh, jit=False)
+            return self.make_comp_dp_step()
         if self.tc.data_parallel:
             self._mesh = pmesh.make_data_mesh()
-            inner = svae_step.make_train_step(
-                self.mc, self.prior, self.optimizer, self.rho, axis_name="data"
+            return pmesh.data_parallel_step(
+                self.make_step(axis_name="data"), self._mesh, jit=False
             )
-            return pmesh.data_parallel_step(inner, self._mesh, jit=False)
-        return svae_step.make_train_step(self.mc, self.prior, self.optimizer, self.rho)
+        return self.make_step()
 
     def fit(self, x_train: jnp.ndarray, x_test: jnp.ndarray | None = None, state=None):
-        tc, mc = self.tc, self.mc
+        tc = self.tc
+        self._num_total = int(x_train.shape[0])
+        self.sync_dtype(x_train)
         key = jax.random.PRNGKey(tc.seed)
         k_init, k_run = jax.random.split(key)
         if state is None:
@@ -150,7 +150,7 @@ class SvaeTrainer:
             runner = make_scan_runner(step, chunk)
         else:
             runner = make_minibatch_scan_runner(step, chunk)
-        evaluate = jax.jit(svae_step.make_eval_fn(self.mc, self.prior))
+        evaluate = self.make_eval()
 
         logger = JsonlLogger(tc.logfile or None)
         t = start
@@ -179,9 +179,9 @@ class SvaeTrainer:
             t += todo
 
             row = {k: float(v) for k, v in last.items()}
-            if x_test is not None:
+            if x_test is not None and evaluate is not None:
                 ev = evaluate(state, x_test, k_run)
-                row["test_elbo_per_point"] = float(ev["elbo_per_point"])
+                row.update({k: float(v) for k, v in ev.items()})
             logger.log(t, **row)
             if ckpt is not None:
                 ckpt.save(t, state, k_run)
@@ -189,3 +189,191 @@ class SvaeTrainer:
             ckpt.close()
         logger.close()
         return state
+
+
+class SvaeTrainer(Trainer):
+    """End-to-end SVAE training with scan-chunked device-resident loops."""
+
+    def __init__(
+        self,
+        model_config: SvaeConfig,
+        trainer_config: TrainerConfig,
+        input_dim: int,
+        prior: GmmNat | None = None,
+    ):
+        super().__init__(trainer_config)
+        self.mc = model_config
+        self.input_dim = input_dim
+        self.prior = prior if prior is not None else gmm.make_prior(
+            model_config.num_components,
+            model_config.latent_dim,
+            alpha=trainer_config.prior_alpha,
+            kappa=trainer_config.prior_kappa,
+        )
+        self.optimizer = optax.adam(trainer_config.lr)
+        self.rho = _rho_schedule(trainer_config)
+
+    def sync_dtype(self, data) -> None:
+        if data is not None and self.prior.dir_nat.dtype != data.dtype:
+            # Keep the whole state in the data's dtype (e.g. float64 oracle
+            # runs on CPU) so the scan carry stays type-stable.
+            self.prior = jax.tree.map(lambda a: a.astype(data.dtype), self.prior)
+
+    def init(self, key: jax.Array, data=None):
+        self.sync_dtype(data)
+        return svae_step.init_state(
+            key,
+            self.input_dim,
+            self.mc,
+            self.prior,
+            self.optimizer,
+            encoder_hidden=self.tc.encoder_hidden,
+            decoder_hidden=self.tc.decoder_hidden,
+            data=data,
+            dtype=data.dtype if data is not None else jnp.float32,
+        )
+
+    def make_step(self, axis_name: str | None = None) -> Callable:
+        return svae_step.make_train_step(
+            self.mc, self.prior, self.optimizer, self.rho, axis_name=axis_name
+        )
+
+    def make_comp_dp_step(self) -> Callable:
+        from svax.parallel import mesh as pmesh
+
+        n_comp = self.tc.component_shards
+        n_data = len(jax.devices()) // n_comp
+        self._mesh = pmesh.make_data_comp_mesh(n_data, n_comp)
+        builder = lambda prior_l: svae_step.make_train_step(  # noqa: E731
+            self.mc, prior_l, self.optimizer, self.rho,
+            axis_name="data", axis_comp="comp",
+        )
+        return pmesh.data_comp_parallel_step(builder, self.prior, self._mesh, jit=False)
+
+    def make_eval(self) -> Callable:
+        inner = jax.jit(svae_step.make_eval_fn(self.mc, self.prior))
+
+        def evaluate(state, x_test, key):
+            ev = inner(state, x_test, key)
+            return {"test_elbo_per_point": ev["elbo_per_point"]}
+
+        return evaluate
+
+
+class _ConjugateMixtureTrainer(Trainer):
+    """Shared adapter for the unkeyed pure-mixture baselines (GMM, SMM)."""
+
+    def __init__(
+        self,
+        trainer_config: TrainerConfig,
+        num_components: int,
+        data_dim: int,
+        prior: GmmNat | None = None,
+        fused: bool = False,
+    ):
+        super().__init__(trainer_config)
+        self.prior = prior if prior is not None else gmm.make_prior(
+            num_components,
+            data_dim,
+            alpha=trainer_config.prior_alpha,
+            kappa=trainer_config.prior_kappa,
+        )
+        self.fused = fused
+        self.rho = _rho_schedule(trainer_config)
+
+    def sync_dtype(self, data) -> None:
+        if data is not None and self.prior.dir_nat.dtype != data.dtype:
+            self.prior = jax.tree.map(lambda a: a.astype(data.dtype), self.prior)
+
+    def _make_raw_step(self, axis_name):
+        raise NotImplementedError
+
+    def make_step(self, axis_name: str | None = None) -> Callable:
+        raw = self._make_raw_step(axis_name)
+        return lambda state, batch, key: raw(state, batch)  # key-adapted
+
+
+class GmmTrainer(_ConjugateMixtureTrainer):
+    """Pure-GMM natural-gradient VMP through the shared engine
+    (BASELINE config #2; SURVEY.md §4.2 call stack)."""
+
+    def init(self, key: jax.Array, data=None):
+        from svax.models import gmm_baseline
+
+        self.sync_dtype(data)
+        return gmm_baseline.init_state(key, self.prior, data)
+
+    def _make_raw_step(self, axis_name):
+        from svax.models import gmm_baseline
+
+        return gmm_baseline.make_train_step(
+            self.prior, self.rho, num_total=self._num_total,
+            axis_name=axis_name, fused=self.fused,
+        )
+
+    def make_eval(self) -> Callable:
+        from svax.models import gmm_baseline
+
+        def evaluate(state, x_test, key):
+            ev = gmm_baseline.evaluate(
+                state.nat, self.prior, x_test, num_total=self._num_total
+            )
+            return {"test_evidence_per_point": ev["evidence_per_point"]}
+
+        return evaluate
+
+
+class SmmTrainer(_ConjugateMixtureTrainer):
+    """Student-t mixture (Gamma scale augmentation) through the engine."""
+
+    def __init__(self, trainer_config, num_components, data_dim,
+                 prior=None, dof: float = 4.0):
+        super().__init__(trainer_config, num_components, data_dim, prior)
+        self.dof = dof
+
+    def init(self, key: jax.Array, data=None):
+        from svax.models import smm_baseline
+
+        self.sync_dtype(data)
+        return smm_baseline.init_state(key, self.prior, data)
+
+    def _make_raw_step(self, axis_name):
+        from svax.models import smm_baseline
+
+        return smm_baseline.make_train_step(
+            self.prior, self.rho, num_total=self._num_total,
+            dof=self.dof, axis_name=axis_name,
+        )
+
+
+class VaeTrainer(Trainer):
+    """Plain-VAE baseline through the shared engine (SURVEY.md §4.3)."""
+
+    def __init__(self, model_config, trainer_config: TrainerConfig, input_dim: int):
+        from svax.models import vae
+
+        super().__init__(trainer_config)
+        self.mc = model_config
+        self.input_dim = input_dim
+        self.optimizer = optax.adam(trainer_config.lr)
+        self._vae = vae
+
+    def init(self, key: jax.Array, data=None):
+        return self._vae.init_state(
+            key, self.input_dim, self.mc, self.optimizer,
+            self.tc.encoder_hidden, self.tc.decoder_hidden,
+            dtype=data.dtype if data is not None else jnp.float32,
+        )
+
+    def make_step(self, axis_name: str | None = None) -> Callable:
+        return self._vae.make_train_step(self.mc, self.optimizer, axis_name=axis_name)
+
+    def make_eval(self) -> Callable:
+        inner = jax.jit(
+            lambda params, x, k: self._vae.elbo(params, x, k, self.mc)[0]
+        )
+
+        def evaluate(state, x_test, key):
+            return {"test_elbo_per_point": inner(state.params, x_test, key)}
+
+        return evaluate

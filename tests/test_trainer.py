@@ -1,5 +1,6 @@
 """High-level SvaeTrainer: full-batch scan path and minibatch path train."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -76,3 +77,79 @@ def test_checkpoint_resume_roundtrip(tmp_path):
     trainer2 = SvaeTrainer(mc, tc2, input_dim=2)
     state = trainer2.fit(x_train)
     assert int(state.step) == 30
+
+
+def test_gmm_trainer_through_engine(tmp_path):
+    """Pure-GMM baseline rides the same engine: scan chunks, eval, logging."""
+    from svax.train.trainer import GmmTrainer
+
+    x_train, x_test = _data()
+    tc = TrainerConfig(steps=30, eval_every=10, rho=0.8,
+                       logfile=str(tmp_path / "g.jsonl"))
+    trainer = GmmTrainer(tc, num_components=5, data_dim=2)
+    state = trainer.fit(x_train, x_test)
+    assert int(state.step) == 30
+    from svax.train.metrics import read_jsonl
+
+    rows = read_jsonl(tmp_path / "g.jsonl")
+    assert rows[-1]["elbo"] > rows[0]["elbo"]
+    assert np.isfinite(rows[-1]["test_evidence_per_point"])
+
+
+def test_gmm_trainer_data_parallel_matches_single():
+    """DP GMM fit through the engine equals the single-device fit exactly
+    (full-batch psum'd stats are order-identical; CVI is deterministic)."""
+    from svax.train.trainer import GmmTrainer
+
+    x_train, _ = _data()
+    tc = TrainerConfig(steps=15, eval_every=5, rho=0.7)
+    s1 = GmmTrainer(tc, num_components=4, data_dim=2).fit(x_train)
+    tc_dp = TrainerConfig(steps=15, eval_every=5, rho=0.7, data_parallel=True)
+    s2 = GmmTrainer(tc_dp, num_components=4, data_dim=2).fit(x_train)
+    np.testing.assert_allclose(
+        np.asarray(s1.nat.dir_nat), np.asarray(s2.nat.dir_nat), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1.nat.niw_nat.eta1), np.asarray(s2.nat.niw_nat.eta1), rtol=1e-10
+    )
+
+
+def test_smm_trainer_through_engine():
+    from svax.train.trainer import SmmTrainer
+
+    x_train, x_test = _data()
+    tc = TrainerConfig(steps=20, eval_every=10, rho=0.8)
+    state = SmmTrainer(tc, num_components=4, data_dim=2, dof=4.0).fit(x_train)
+    assert int(state.step) == 20
+    assert np.isfinite(float(state.nat.dir_nat.sum()))
+
+
+def test_vae_trainer_through_engine(tmp_path):
+    from svax.models import vae
+    from svax.train.trainer import VaeTrainer
+
+    x_train, x_test = _data()
+    mc = vae.VaeConfig(latent_dim=2, num_samples=1)
+    tc = TrainerConfig(steps=40, eval_every=20, lr=3e-3,
+                       encoder_hidden=(16,), decoder_hidden=(16,),
+                       logfile=str(tmp_path / "v.jsonl"))
+    state = VaeTrainer(mc, tc, input_dim=2).fit(x_train, x_test)
+    assert int(state.step) == 40
+    from svax.train.metrics import read_jsonl
+
+    rows = read_jsonl(tmp_path / "v.jsonl")
+    assert rows[-1]["elbo_per_point"] > rows[0]["elbo_per_point"]
+    assert np.isfinite(rows[-1]["test_elbo_per_point"])
+
+
+def test_vae_trainer_data_parallel():
+    from svax.models import vae
+    from svax.train.trainer import VaeTrainer
+
+    x_train, _ = _data()
+    mc = vae.VaeConfig(latent_dim=2, num_samples=1)
+    tc = TrainerConfig(steps=10, eval_every=5, encoder_hidden=(8,),
+                       decoder_hidden=(8,), data_parallel=True)
+    state = VaeTrainer(mc, tc, input_dim=2).fit(x_train)
+    assert int(state.step) == 10
+    assert np.isfinite(float(jax.tree.leaves(state.params)[0].sum()))
