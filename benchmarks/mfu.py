@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""MFU / roofline accounting for the SVAE step (VERDICT r1 #3).
+
+For a given config shape this compiles the full train step, pulls XLA's
+cost analysis (logical FLOPs + HBM bytes accessed), measures the steady-
+state step time in scan chunks, and reports:
+
+  * logical TFLOP/s and GB/s achieved,
+  * MFU vs the chip's bf16 matmul peak (plus the precision-pass-adjusted
+    hardware utilization: Precision.HIGH runs bf16x3 passes, HIGHEST
+    bf16x6, so the MXU does 3x/6x the logical matmul work),
+  * the roofline verdict: which resource binds at this arithmetic
+    intensity.
+
+Run on TPU:  python benchmarks/mfu.py [--config bigk|mnist]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# TPU v5e (single chip): 197 TFLOP/s bf16 MXU peak, 819 GB/s HBM.
+PEAK_FLOPS = {"tpu v5e": 197e12, "tpu v5 lite": 197e12}
+PEAK_HBM = {"tpu v5e": 819e9, "tpu v5 lite": 819e9}
+DEFAULT_PEAK_FLOPS = 197e12
+DEFAULT_PEAK_HBM = 819e9
+
+
+def _chip_peaks():
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for name, val in PEAK_FLOPS.items():
+        if name in kind:
+            return val, PEAK_HBM[name], kind
+    return DEFAULT_PEAK_FLOPS, DEFAULT_PEAK_HBM, kind
+
+
+def analyze(name: str, k: int, d: int, s: int, hidden, batch: int,
+            input_dim: int = 784, likelihood: str = "bernoulli",
+            chunk: int = 20, n_chunks: int = 4, remat: bool = False,
+            precision: str = "high", fused_decoder: bool = False):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from svax.models.svae import SvaeConfig
+    from svax.pgm import gmm
+    from svax.train import svae_step
+    from svax.train.loop import make_scan_runner
+
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}[precision]
+    config = SvaeConfig(
+        latent_dim=d, num_components=k, num_samples=s, likelihood=likelihood,
+        num_total=batch, nn_precision=prec, remat_combine=remat,
+        fused_decoder=fused_decoder,
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        (rng.random((batch, input_dim)) > 0.7).astype(np.float32)
+        if likelihood == "bernoulli"
+        else rng.standard_normal((batch, input_dim)).astype(np.float32)
+    )
+    prior = gmm.make_prior(k, d)
+    opt = optax.adam(1e-3)
+    key = jax.random.PRNGKey(0)
+    state = svae_step.init_state(key, input_dim, config, prior, opt,
+                                 tuple(hidden), tuple(hidden), data=x)
+    step = svae_step.make_train_step(config, prior, opt, rho=0.1)
+
+    # Cost analysis of ONE step (not the scan): logical flops + HBM traffic.
+    compiled = jax.jit(step).lower(state, x, key).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    flops = float(ca.get("flops", 0.0))
+    # XLA reports bytes accessed{} split over operands; 'bytes accessed' is
+    # the total when present, else sum the operand entries.
+    bytes_acc = float(ca.get("bytes accessed", 0.0))
+    if bytes_acc == 0.0:
+        bytes_acc = sum(v for key_, v in ca.items()
+                        if key_.startswith("bytes accessed") and isinstance(v, float))
+
+    runner = make_scan_runner(step, chunk)
+    state2, _ = runner(state, x, key)  # warm compile
+    jax.block_until_ready(state2.pgm_nat.dir_nat)
+    times = []
+    for i in range(n_chunks):
+        t0 = time.perf_counter()
+        state2, m = runner(state2, x, jax.random.fold_in(key, i))
+        jax.block_until_ready(state2.pgm_nat.dir_nat)
+        times.append((time.perf_counter() - t0) / chunk)
+    dt = float(np.median(times))
+
+    peak_flops, peak_hbm, kind = _chip_peaks()
+    tflops = flops / dt
+    gbs = bytes_acc / dt
+    intensity = flops / max(bytes_acc, 1.0)
+    ridge = peak_flops / peak_hbm  # flops/byte where compute starts to bind
+    mult = {"highest": 6, "high": 3, "default": 1}[precision]
+    row = {
+        "config": name,
+        "device": kind,
+        "ms_per_step": round(dt * 1e3, 3),
+        "steps_per_sec": round(1.0 / dt, 1),
+        "logical_gflops_per_step": round(flops / 1e9, 2),
+        "hbm_gb_per_step": round(bytes_acc / 1e9, 4),
+        "achieved_tflops": round(tflops / 1e12, 2),
+        "achieved_hbm_gbs": round(gbs / 1e9, 1),
+        "mfu_logical_pct": round(100 * tflops / peak_flops, 2),
+        "mxu_util_precision_adj_pct": round(100 * mult * tflops / peak_flops, 2),
+        "hbm_util_pct": round(100 * gbs / peak_hbm, 2),
+        "arith_intensity_flops_per_byte": round(intensity, 1),
+        "ridge_point": round(ridge, 1),
+        "bound": "compute" if intensity > ridge else "memory",
+        "remat": remat,
+        "fused_decoder": fused_decoder,
+        "precision": precision,
+        "elbo_finite": bool(jnp.isfinite(m["elbo"][-1])),
+    }
+    print(json.dumps(row), flush=True)
+    return row
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", choices=["bigk", "mnist", "both"], default="both")
+    p.add_argument("--remat", action="store_true")
+    p.add_argument("--fused-decoder", action="store_true")
+    p.add_argument("--precision", choices=["highest", "high", "default"],
+                   default="high")
+    args = p.parse_args()
+    import jax
+
+    print(f"backend={jax.default_backend()}", flush=True)
+    if args.config in ("bigk", "both"):
+        analyze("bigk-single-chip", k=100, d=10, s=1, hidden=(200, 200),
+                batch=1024, remat=args.remat, precision=args.precision,
+                fused_decoder=args.fused_decoder)
+    if args.config in ("mnist", "both"):
+        analyze("mnist-svae", k=10, d=8, s=1, hidden=(200, 200), batch=256,
+                remat=args.remat, precision=args.precision,
+                fused_decoder=args.fused_decoder)
+
+
+if __name__ == "__main__":
+    main()

@@ -57,6 +57,11 @@ class SvaeConfig(NamedTuple):
     # intermediates dominate HBM at large batch/K; remat trades ~1 extra
     # forward combine for dropping them from the residual set.
     remat_combine: bool = False
+    # Route the Bernoulli decoder's x-free row-sum through the Pallas
+    # kernel so the (S·N·K, D) logits never hit HBM (fwd AND bwd) — the
+    # big-K step is memory-bound (benchmarks/mfu.py). No-op off-TPU and
+    # for Gaussian likelihoods.
+    fused_decoder: bool = False
 
 
 class SinPosterior(NamedTuple):
@@ -214,7 +219,8 @@ def forward(
     if config.likelihood == "bernoulli":
         # x-free big-logits formulation — measurably faster (nets docstring).
         loglik = nets.bernoulli_loglik_decomposed(
-            nn_params["decoder"], z, x, config.activation, config.nn_precision
+            nn_params["decoder"], z, x, config.activation, config.nn_precision,
+            fused=config.fused_decoder,
         )
     else:
         loglik = nets.log_likelihood(

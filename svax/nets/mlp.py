@@ -144,6 +144,7 @@ def bernoulli_loglik_decomposed(
     x: jnp.ndarray,
     activation: Callable = jnp.tanh,
     precision=jax.lax.Precision.HIGHEST,
+    fused: bool = False,
 ) -> jnp.ndarray:
     """Bernoulli log-lik via ll = ⟨x, o⟩ + Σ_D logσ(−o) (since
     logσ(o) − logσ(−o) = o): the x-dependent part reduces to tiny matmuls
@@ -151,6 +152,12 @@ def bernoulli_loglik_decomposed(
     x-free — measured ~12% faster fwd+bwd than the broadcast form on v5e
     at the big-K shape. z (..., N, K, d); x (N, D) UNbroadcast. Returns
     (..., N, K).
+
+    ``fused=True`` routes the x-free row-sum through the Pallas kernel
+    (svax.ops.decoder_pallas): the (rows, D) logits stay in VMEM tiles in
+    both directions instead of costing ~2·rows·D·4 bytes of HBM traffic
+    per pass — the big-K step is memory-bound (benchmarks/mfu.py), so this
+    is a bandwidth play, not a FLOP play. Off-TPU it falls back here.
     """
     h = z
     for layer in params[:-1]:
@@ -164,6 +171,12 @@ def bernoulli_loglik_decomposed(
         jnp.einsum("...nkh,nh->...nk", h, y, precision=precision)
         + c[..., :, None]
     )
+    if fused and jax.default_backend() == "tpu":
+        from svax.ops import decoder_pallas
+
+        return t + decoder_pallas.rowsum_logsig_neg(
+            h, last["w"], last["b"], precision=precision
+        )
     o = jnp.dot(h, last["w"], precision=precision) + last["b"]
     return t + jnp.sum(jax.nn.log_sigmoid(-o), axis=-1)
 

@@ -43,8 +43,9 @@ def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("tile_m", "interpret"))
-def _rowsum_fwd_call(h2, w, b2d, tile_m: int, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("tile_m", "interpret", "precision"))
+def _rowsum_fwd_call(h2, w, b2d, tile_m: int, interpret: bool = False,
+                     precision=_HI):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -54,7 +55,8 @@ def _rowsum_fwd_call(h2, w, b2d, tile_m: int, interpret: bool = False):
 
     def kernel(h_ref, w_ref, b_ref, s_ref):
         o = (
-            jnp.dot(h_ref[:], w_ref[:], preferred_element_type=jnp.float32, precision=_HI)
+            jnp.dot(h_ref[:], w_ref[:], preferred_element_type=jnp.float32,
+                    precision=precision)
             + b_ref[0:1, :]
         )  # (T, D) — never leaves VMEM
         s_ref[:, 0:1] = jnp.sum(jax.nn.log_sigmoid(-o), axis=-1, keepdims=True)
@@ -73,8 +75,9 @@ def _rowsum_fwd_call(h2, w, b2d, tile_m: int, interpret: bool = False):
     )(h2, w, b2d)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_m", "interpret"))
-def _rowsum_bwd_call(h2, w, b2d, sbar, tile_m: int, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("tile_m", "interpret", "precision"))
+def _rowsum_bwd_call(h2, w, b2d, sbar, tile_m: int, interpret: bool = False,
+                     precision=_HI):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -85,14 +88,15 @@ def _rowsum_bwd_call(h2, w, b2d, sbar, tile_m: int, interpret: bool = False):
     def kernel(h_ref, w_ref, b_ref, g_ref, hbar_ref, wbar_ref, bbar_ref):
         i = pl.program_id(0)
         o = (
-            jnp.dot(h_ref[:], w_ref[:], preferred_element_type=jnp.float32, precision=_HI)
+            jnp.dot(h_ref[:], w_ref[:], preferred_element_type=jnp.float32,
+                    precision=precision)
             + b_ref[0:1, :]
         )
         do = -jax.nn.sigmoid(o) * g_ref[:, 0:1]  # (T, D)
         hbar_ref[:] = jax.lax.dot_general(
             do, w_ref[:],
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HI,
+            preferred_element_type=jnp.float32, precision=precision,
         )
 
         @pl.when(i == 0)
@@ -103,7 +107,7 @@ def _rowsum_bwd_call(h2, w, b2d, sbar, tile_m: int, interpret: bool = False):
         wbar_ref[:] += jax.lax.dot_general(
             h_ref[:], do,
             dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HI,
+            preferred_element_type=jnp.float32, precision=precision,
         )
         bbar_ref[0:1, :] += jnp.sum(do, axis=0, keepdims=True)
 
@@ -144,25 +148,28 @@ def _pad_rowsum_operands(h2, w, b, tile_m):
     return hp, wp, bp, (m, dh, d)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _rowsum_logsig_neg(h2, w, b, tile_m: int, interpret: bool = False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _rowsum_logsig_neg(h2, w, b, tile_m: int, interpret: bool = False,
+                       precision=_HI):
     """s(H)_m = Σ_D logσ(−(H W + b)); H (M, Dh) flat rows; TPU-fused."""
     hp, wp, bp, (m, dh, d) = _pad_rowsum_operands(h2, w, b, tile_m)
-    s = _rowsum_fwd_call(hp, wp, bp, tile_m, interpret=interpret)
+    s = _rowsum_fwd_call(hp, wp, bp, tile_m, interpret=interpret,
+                         precision=precision)
     return s[:m, 0].astype(h2.dtype)
 
 
-def _rowsum_fwd(h2, w, b, tile_m, interpret):
-    return _rowsum_logsig_neg(h2, w, b, tile_m, interpret), (h2, w, b)
+def _rowsum_fwd(h2, w, b, tile_m, interpret, precision):
+    return _rowsum_logsig_neg(h2, w, b, tile_m, interpret, precision), (h2, w, b)
 
 
-def _rowsum_bwd(tile_m, interpret, res, sbar):
+def _rowsum_bwd(tile_m, interpret, precision, res, sbar):
     h2, w, b = res
     hp, wp, bp, (m, dh, d) = _pad_rowsum_operands(h2, w, b, tile_m)
     gp = jnp.zeros((hp.shape[0], 128), jnp.float32)
     gp = gp.at[:m, :].set(sbar.astype(jnp.float32)[:, None])
     # Only column 0 of g is read in-kernel; replication above is harmless.
-    hbar, wbar, bbar = _rowsum_bwd_call(hp, wp, bp, gp, tile_m, interpret=interpret)
+    hbar, wbar, bbar = _rowsum_bwd_call(hp, wp, bp, gp, tile_m,
+                                        interpret=interpret, precision=precision)
     return (
         hbar[:m, :dh].astype(h2.dtype),
         wbar[:dh, :d].astype(w.dtype),
@@ -171,6 +178,34 @@ def _rowsum_bwd(tile_m, interpret, res, sbar):
 
 
 _rowsum_logsig_neg.defvjp(_rowsum_fwd, _rowsum_bwd)
+
+
+def _kernel_precision(precision):
+    """Mosaic dots support only DEFAULT and HIGHEST — no bf16x3 HIGH pass
+    (verified on this box's jax 0.9: 'Unsupported dot precision: HIGH').
+    HIGH therefore maps to DEFAULT (single-pass bf16, f32 accumulate)
+    inside the kernel; callers needing the f32 guarantee pass HIGHEST."""
+    if precision == jax.lax.Precision.HIGH:
+        return jax.lax.Precision.DEFAULT
+    return precision
+
+
+def rowsum_logsig_neg(h, w, b, tile_m: int = 512, interpret: bool = False,
+                      precision=_HI):
+    """Public entry: s = Σ_D logσ(−(h·W + b)) over the trailing axis.
+
+    h (..., Dh) with arbitrary leading axes (flattened internally — the
+    row-sum is row-order independent); returns (...). The (rows, D) logits
+    live only inside the kernel's VMEM tiles; the custom VJP recomputes
+    them tile-wise in the backward pass, so neither direction materializes
+    them in HBM. This is the HBM-traffic eliminator for the big-K
+    Bernoulli decoder (SVAE `fused_decoder`; BASELINE config #5).
+    """
+    lead = h.shape[:-1]
+    flat = h.reshape(-1, h.shape[-1])
+    return _rowsum_logsig_neg(
+        flat, w, b, tile_m, interpret, _kernel_precision(precision)
+    ).reshape(lead)
 
 
 def fused_bernoulli_loglik(h, w, b, x, tile_m: int = 512, interpret: bool = False):
@@ -188,5 +223,7 @@ def fused_bernoulli_loglik(h, w, b, x, tile_m: int = 512, interpret: bool = Fals
     y = jnp.dot(x, w.T, precision=_HI)  # (N, Dh)
     c = jnp.dot(x, b, precision=_HI)  # (N,)
     t = jnp.einsum("nrh,nh->nr", h, y, precision=_HI) + c[:, None]
-    s = _rowsum_logsig_neg(h.reshape(n * r, dh), w, b, tile_m, interpret).reshape(n, r)
+    s = _rowsum_logsig_neg(
+        h.reshape(n * r, dh), w, b, tile_m, interpret, _HI
+    ).reshape(n, r)
     return t + s

@@ -97,3 +97,40 @@ def test_decoder_rowsum_kernel_interpret_gradients():
     want = jax.grad(loss_twin, argnums=(0, 1, 2))(h, w, b)
     for g, t in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(t), rtol=5e-5, atol=5e-5)
+
+
+def test_rowsum_leading_axes_and_mlp_fused_path():
+    """The public rowsum wrapper handles (S,N,K,Dh) leading axes, and the
+    mlp fused route (kernel in interpret mode) matches the XLA formula."""
+    from svax.nets import mlp as nets
+
+    rng = np.random.default_rng(5)
+    s_, n, k, dh, d = 2, 3, 4, 12, 17
+    h = jnp.asarray(rng.standard_normal((s_, n, k, dh)), jnp.float32)
+    w = jnp.asarray(0.3 * rng.standard_normal((dh, d)), jnp.float32)
+    b = jnp.asarray(0.1 * rng.standard_normal((d,)), jnp.float32)
+    got = decoder_pallas.rowsum_logsig_neg(h, w, b, tile_m=8, interpret=True)
+    want = jnp.sum(jax.nn.log_sigmoid(-(h @ w + b)), axis=-1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+    # Full decomposed path: patch the backend gate so the fused branch runs
+    # under the interpreter on CPU.
+    params = [
+        {"w": jnp.asarray(rng.standard_normal((5, dh)), jnp.float32) * 0.3,
+         "b": jnp.zeros((dh,), jnp.float32)},
+        {"w": w, "b": b},
+    ]
+    z = jnp.asarray(rng.standard_normal((s_, n, k, 5)), jnp.float32)
+    x = jnp.asarray(rng.integers(0, 2, (n, d)), jnp.float32)
+    want_ll = nets.bernoulli_loglik_decomposed(params, z, x, fused=False)
+    import unittest.mock as mock
+
+    orig_fwd = decoder_pallas._rowsum_fwd_call
+    with mock.patch("jax.default_backend", return_value="tpu"), mock.patch(
+        "svax.ops.decoder_pallas._rowsum_fwd_call",
+        lambda *a, **kw: orig_fwd(*a, **{**kw, "interpret": True}),
+    ):
+        got_ll = nets.bernoulli_loglik_decomposed(params, z, x, fused=True)
+    np.testing.assert_allclose(
+        np.asarray(got_ll), np.asarray(want_ll), rtol=2e-4, atol=2e-4
+    )
