@@ -55,8 +55,9 @@ def main() -> None:
 
     # Device-resident scan chunks: per-dispatch latency through the TPU
     # tunnel is ~25 ms, so big chunks are required to measure the machine
-    # rather than the tunnel (measured 50→1272, 200→3247, 500→4695 steps/s).
-    chunk = 500
+    # rather than the tunnel. Chunk sweep (benchmarks/bench_chunks.py):
+    # 100→1858, 500→7227, 1000→8799, 2000→6313 steps/s — 1000 is the knee.
+    chunk = 1000
     runner = make_scan_runner(step, chunk)
 
     # Warm-up compile + one chunk (cold TPU compile can take ~2 min).

@@ -21,6 +21,9 @@ CONFIGS: dict[str, dict] = {
         rho=0.05,
         alpha=1.0,
         kappa=0.05,
+        # Measured best on v5e (benchmarks/bench_chunks.py): 8799 steps/s
+        # at chunk 1000 vs 1858 at 100 — dispatch latency dominates below.
+        scan_chunk=1000,
     ),
     # BASELINE config #2
     "pinwheel-gmm": dict(
@@ -46,6 +49,7 @@ CONFIGS: dict[str, dict] = {
         rho_decay=0.001,
         alpha=1.0,
         kappa=0.05,
+        scan_chunk=500,  # 8698 steps/s measured (bench_chunks.py)
     ),
     # BASELINE config #4
     "mnist-svae": dict(
@@ -62,6 +66,7 @@ CONFIGS: dict[str, dict] = {
         rho_decay=0.001,
         alpha=1.0,
         kappa=0.05,
+        scan_chunk=200,  # 2337 steps/s measured (bench_chunks.py)
     ),
     # BASELINE config #5 — large-K high-dim latent with DP psum over ICI
     "bigk-dp": dict(
@@ -79,6 +84,7 @@ CONFIGS: dict[str, dict] = {
         alpha=0.5,
         kappa=0.05,
         dp=True,
+        scan_chunk=100,  # 115.1 steps/s single-chip measured (bench_chunks.py)
     ),
 }
 
