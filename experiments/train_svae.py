@@ -177,6 +177,9 @@ def main() -> None:
             "local_kl": float(metrics["local_kl"]),
             "global_kl": float(metrics["global_kl"]),
             "test_elbo_per_point": float(ev["elbo_per_point"]),
+            # Wall clock since the (post-warm-up) timer start — the
+            # time-to-target metric reads this directly.
+            "wall_s": round(time.perf_counter() - t0, 3),
         }
         print(json.dumps(row))
         if logf:
