@@ -63,6 +63,11 @@ def main() -> None:
                         "default=single-pass bf16")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize the SIN combine (large batch/K memory)")
+    p.add_argument("--smm-dof", type=float, default=0.0,
+                   help="Student-t mixture latent prior with this many "
+                        "degrees of freedom (0 = Gaussian mixture prior)")
+    p.add_argument("--smm-iters", type=int, default=2,
+                   help="u-z coordinate rounds in the SMM combine")
     args = p.parse_args()
 
     from configs import apply_config
@@ -82,6 +87,15 @@ def main() -> None:
 
     from svax.data import load_dataset
     from svax.models.svae import SvaeConfig
+
+    def svae_mod_select(dof: float):
+        if dof > 0.0:
+            from svax.models import svae_smm
+
+            return svae_smm
+        from svax.models import svae
+
+        return svae
     from svax.pgm import gmm
     from svax.train import svae_step
 
@@ -104,7 +118,10 @@ def main() -> None:
             "default": jax.lax.Precision.DEFAULT,
         }[args.nn_precision],
         remat_combine=args.remat,
+        dof=args.smm_dof,
+        smm_iters=args.smm_iters,
     )
+    model = svae_mod_select(args.smm_dof)
     prior = gmm.make_prior(
         args.num_components, args.latent_dim, alpha=args.alpha, kappa=args.kappa
     )
@@ -147,12 +164,14 @@ def main() -> None:
             batch = (batch // ndev) * ndev or ndev
             print(f"rounding batch to {batch} for {ndev}-device mesh")
         step = pmesh.data_parallel_step(
-            svae_step.make_train_step(config, prior, opt, rho, axis_name="data"),
+            svae_step.make_train_step(
+                config, prior, opt, rho, axis_name="data", model=model
+            ),
             dmesh,
         )
     else:
-        step = jax.jit(svae_step.make_train_step(config, prior, opt, rho))
-    evaluate = jax.jit(svae_step.make_eval_fn(config, prior))
+        step = jax.jit(svae_step.make_train_step(config, prior, opt, rho, model=model))
+    evaluate = jax.jit(svae_step.make_eval_fn(config, prior, model=model))
 
     logf = open(args.logfile, "a") if args.logfile else None
     print(
@@ -191,7 +210,7 @@ def main() -> None:
     if args.scan_chunk > 0 and not args.dp:
         from svax.train.loop import make_minibatch_scan_runner, make_scan_runner
 
-        raw_step = svae_step.make_train_step(config, prior, opt, rho)
+        raw_step = svae_step.make_train_step(config, prior, opt, rho, model=model)
 
         def make_runners(length):
             return (

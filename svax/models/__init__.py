@@ -1,4 +1,11 @@
 """L2 — models: SVAE (SIN + structured ELBO), VAE and pure-GMM baselines."""
 
-from svax.models import evaluation, gmm_baseline, smm_baseline, svae, vae  # noqa: F401
+from svax.models import (  # noqa: F401
+    evaluation,
+    gmm_baseline,
+    smm_baseline,
+    svae,
+    svae_smm,
+    vae,
+)
 from svax.models.svae import SvaeConfig, SvaeOutputs  # noqa: F401

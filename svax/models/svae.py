@@ -62,6 +62,11 @@ class SvaeConfig(NamedTuple):
     # big-K step is memory-bound (benchmarks/mfu.py). No-op off-TPU and
     # for Gaussian likelihoods.
     fused_decoder: bool = False
+    # Student-t mixture latent prior (svax.models.svae_smm): degrees of
+    # freedom (> 0 activates the SMM variant there; this module ignores
+    # it) and the number of u–z coordinate rounds inside the combine.
+    dof: float = 0.0
+    smm_iters: int = 2
 
 
 class SinPosterior(NamedTuple):

@@ -68,6 +68,7 @@ def make_train_step(
     rho: float | Callable,
     axis_name: str | None = None,
     axis_comp: str | None = None,
+    model=svae,
 ) -> Callable:
     """Build the jittable combined step(state, batch, key) → (state, metrics).
 
@@ -77,10 +78,19 @@ def make_train_step(
     CVI updates are K-local, NN grads additionally psum over the component
     axis since each shard sees only its components' reconstruction terms).
     The two compose over a 2-D mesh.
+
+    ``model`` is the SVAE-variant module: it must expose
+    ``forward(nn, nat, prior, x, key, config, axis_comp=...) → SvaeOutputs``
+    and (optionally) ``stats_to_nat`` mapping its sufficient-statistic
+    pytree to natural increments — defaults cover the GMM-prior SVAE;
+    ``svax.models.svae_smm`` plugs in the Student-t-prior variant.
     """
+    from svax.pgm import gmm as gmm_mod
+
+    stats_to_nat = getattr(model, "stats_to_nat", gmm_mod.stats_to_nat)
 
     def loss_fn(nn_params, pgm_nat, batch, key):
-        out = svae.forward(
+        out = model.forward(
             nn_params, pgm_nat, prior, batch, key, config, axis_comp=axis_comp
         )
         if axis_name is not None:
@@ -116,9 +126,7 @@ def make_train_step(
         updates, opt_state = optimizer.update(grads, state.opt_state, state.nn_params)
         nn_params = optax.apply_updates(state.nn_params, updates)
 
-        from svax.pgm import gmm as gmm_mod
-
-        inc = gmm_mod.stats_to_nat(stats)
+        inc = stats_to_nat(stats)
         rho_t = rho(state.step) if callable(rho) else rho
         pgm_nat = natgrad.cvi_update(state.pgm_nat, prior, inc, rho_t)
 
@@ -144,12 +152,12 @@ def make_train_step(
     return step
 
 
-def make_eval_fn(config: SvaeConfig, prior: GmmNat) -> Callable:
+def make_eval_fn(config: SvaeConfig, prior: GmmNat, model=svae) -> Callable:
     """Held-out ELBO decomposition at fixed parameters (SURVEY.md §4.4)."""
 
     def evaluate(state: SvaeTrainState, x: jnp.ndarray, key: jax.Array):
         cfg = config._replace(num_total=x.shape[0])
-        out = svae.forward(state.nn_params, state.pgm_nat, prior, x, key, cfg)
+        out = model.forward(state.nn_params, state.pgm_nat, prior, x, key, cfg)
         n = x.shape[0]
         return {
             "elbo_per_point": out.elbo / n,

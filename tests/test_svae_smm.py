@@ -1,0 +1,136 @@
+"""SMM-prior (Student-t latent mixture) SVAE tests (svax/models/svae_smm.py).
+
+Anchors: (a) dof → ∞ collapses every formula to the GMM-prior SVAE (the
+same reduction the data-space SMM is tested with); (b) the u–z coordinate
+updates reach their fixed point; (c) the combined Adam+CVI step trains;
+(d) outlier latents get downweighted (E[u] < 1) — the robustness property
+the Student-t prior exists for.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from svax.data import make_pinwheel_data
+from svax.models import svae, svae_smm
+from svax.models.svae import SvaeConfig
+from svax.pgm import gmm
+from svax.train import svae_step
+
+
+def _setup(dof, n=80, k=5, d=2, s=2, dtype=jnp.float64, smm_iters=2):
+    x = jnp.asarray(
+        make_pinwheel_data(num_classes=4, num_per_class=n // 4, seed=3), dtype
+    )[:n]
+    key = jax.random.PRNGKey(7)
+    config = SvaeConfig(
+        latent_dim=d, num_components=k, num_samples=s, num_total=n,
+        dof=dof, smm_iters=smm_iters,
+    )
+    prior = gmm.make_prior(k, d, dtype=dtype)
+    nn = svae.init_params(key, 2, config, (16,), (16,), dtype=dtype)
+    nat = gmm.init_variational(key, prior, x)
+    eps = jnp.asarray(
+        np.random.default_rng(0).standard_normal((s, n, k, d)), dtype
+    )
+    return x, key, config, prior, nn, nat, eps
+
+
+def test_dof_infinity_reduces_to_gmm_svae():
+    x, key, config, prior, nn, nat, eps = _setup(dof=1e9)
+    out_smm = svae_smm.forward(nn, nat, prior, x, key, config, eps=eps)
+    out_gmm = svae.forward(nn, nat, prior, x, key, config._replace(dof=0.0), eps=eps)
+
+    np.testing.assert_allclose(
+        np.asarray(out_smm.posterior.log_resp),
+        np.asarray(out_gmm.posterior.log_resp), atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_smm.posterior.mean), np.asarray(out_gmm.posterior.mean),
+        rtol=1e-6, atol=1e-8,
+    )
+    rel = abs(float(out_smm.elbo - out_gmm.elbo)) / abs(float(out_gmm.elbo))
+    assert rel < 1e-5, f"ELBO rel dev {rel:.2e} at dof→∞"
+    # u-weighted stats coincide with the GMM stats when E[u] ≡ 1.
+    np.testing.assert_allclose(
+        np.asarray(out_smm.suff_stats.u_counts),
+        np.asarray(out_smm.suff_stats.counts), rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_smm.suff_stats.mean_stat),
+        np.asarray(out_gmm.suff_stats.mean_stat), rtol=1e-5, atol=1e-8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_smm.suff_stats.scatter_stat),
+        np.asarray(out_gmm.suff_stats.scatter_stat), rtol=1e-5, atol=1e-8,
+    )
+
+
+def test_u_coordinate_fixed_point():
+    """After enough rounds, one more u-update is a no-op (fixed point)."""
+    x, key, config, prior, nn, nat, eps = _setup(dof=4.0, smm_iters=40)
+    exp = gmm.expected_params(nat)
+    from svax.nets import mlp as nets
+
+    pot_h, pot_p = nets.encoder_apply(nn["encoder"], x, config.activation)
+    post, _ = svae_smm.smm_combine(pot_h, pot_p, exp, 4.0, num_iters=40)
+    a = 0.5 * 4.0 + 0.5 * config.latent_dim
+    quad = svae_smm._quad_latent(post.mean, post.cov, exp)
+    e_u_next = a / (0.5 * 4.0 + 0.5 * quad)
+    np.testing.assert_allclose(
+        np.asarray(e_u_next), np.asarray(post.e_u), rtol=1e-8
+    )
+
+
+def test_smm_svae_trains_and_improves():
+    """Combined Adam+CVI step through svae_step with model=svae_smm."""
+    x, key, config, prior, nn, nat, eps = _setup(dof=4.0, dtype=jnp.float64)
+    opt = optax.adam(3e-3)
+    state = svae_step.init_state(
+        key, 2, config, prior, opt, (16,), (16,), data=x, dtype=jnp.float64
+    )
+    step = jax.jit(
+        svae_step.make_train_step(config, prior, opt, rho=0.3, model=svae_smm)
+    )
+    elbos = []
+    for t in range(40):
+        state, metrics = step(state, x, jax.random.fold_in(key, t))
+        elbos.append(float(metrics["elbo"]))
+        assert np.isfinite(elbos[-1])
+    assert elbos[-1] > elbos[0] + 0.2 * abs(elbos[0]), (elbos[0], elbos[-1])
+
+    evaluate = jax.jit(svae_step.make_eval_fn(config, prior, model=svae_smm))
+    ev = evaluate(state, x, key)
+    assert np.isfinite(float(ev["elbo_per_point"]))
+
+
+def test_outliers_are_downweighted():
+    """Points far from every component get E[u] < typical points' E[u]."""
+    x, key, config, prior, nn, nat, eps = _setup(dof=4.0, smm_iters=10)
+    # Append gross outliers in INPUT space; with an identity-ish fresh
+    # encoder they land far out in latent space too.
+    x_out = jnp.concatenate([x, 25.0 * jnp.ones((4, 2), x.dtype)], axis=0)
+    exp = gmm.expected_params(nat)
+    from svax.nets import mlp as nets
+
+    pot_h, pot_p = nets.encoder_apply(nn["encoder"], x_out, config.activation)
+    post, _ = svae_smm.smm_combine(pot_h, pot_p, exp, 4.0, num_iters=10)
+    resp = jnp.exp(post.log_resp)
+    e_u_eff = jnp.sum(resp * post.e_u, axis=-1)  # (N,)
+    typical = float(jnp.median(e_u_eff[:-4]))
+    outlier = float(jnp.max(e_u_eff[-4:]))
+    assert outlier < typical, (outlier, typical)
+
+
+def test_forward_f32_matches_f64():
+    x64, key, config, prior64, nn64, nat64, eps64 = _setup(dof=4.0)
+    out64 = svae_smm.forward(nn64, nat64, prior64, x64, key, config, eps=eps64)
+
+    cast = lambda t: jax.tree.map(lambda a: a.astype(jnp.float32), t)  # noqa: E731
+    out32 = svae_smm.forward(
+        cast(nn64), cast(nat64), cast(prior64),
+        x64.astype(jnp.float32), key, config, eps=eps64.astype(jnp.float32),
+    )
+    rel = abs(float(out32.elbo - out64.elbo)) / abs(float(out64.elbo))
+    assert rel < 1e-4, f"f32 SMM-SVAE ELBO rel dev {rel:.2e}"
