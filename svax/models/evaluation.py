@@ -90,6 +90,72 @@ def svae_iw_loglik(
     return jax.nn.logsumexp(log_w, axis=0) - jnp.log(float(num_samples))
 
 
+def _expected_smm_log_prob(
+    z: jnp.ndarray, exp: gmm.GmmExpected, dof: float
+) -> jnp.ndarray:
+    """log p̄(z) under the expected-parameter Student-t mixture; z (..., d).
+
+    Marginalizing u ~ Gamma(a₀, b₀) out of exp(E[log p(z|u,θ,k)]) in closed
+    form:  p̄(z|k) = (2π)^{−d/2} e^{½E[log|Λ|]} b₀^{a₀} Γ(a₀+d/2)/Γ(a₀)
+                    · (b₀ + Q(z)/2)^{−(a₀+d/2)},
+    Q(z) = zᵀE[Λ]z − 2zᵀE[Λμ] + E[μᵀΛμ] — the u-augmented analog of
+    `_expected_gmm_log_prob` (dof → ∞ recovers it)."""
+    d = z.shape[-1]
+    a0 = b0 = 0.5 * dof
+    a = a0 + 0.5 * d
+    hi = jax.lax.Precision.HIGHEST
+    quad = jnp.einsum("...i,kij,...j->...k", z, exp.prec, z, precision=hi)
+    cross = jnp.einsum("...i,ki->...k", z, exp.prec_mean, precision=hi)
+    q_z = quad - 2.0 * cross + exp.quad
+    logp_k = (
+        exp.log_pi
+        + 0.5 * exp.logdet
+        - 0.5 * d * _LOG_2PI
+        + a0 * jnp.log(b0)
+        + gammaln(a)
+        - gammaln(a0)
+        - a * jnp.log(b0 + 0.5 * q_z)
+    )
+    return jax.nn.logsumexp(logp_k, axis=-1)
+
+
+def svae_smm_iw_loglik(
+    nn_params: dict,
+    pgm_nat: GmmNat,
+    x: jnp.ndarray,
+    key: jax.Array,
+    config: SvaeConfig,
+    num_samples: int = 100,
+) -> jnp.ndarray:
+    """IW bound for the SMM-prior SVAE: proposal = the structured mixture
+    posterior of svae_smm (u marginalized out of the target in closed
+    form), target = expected-parameter Student-t mixture × decoder."""
+    from svax.models import svae_smm
+
+    assert config.dof > 0.0
+    exp = gmm.expected_params(pgm_nat)
+    pot_h, pot_p = nets.encoder_apply(nn_params["encoder"], x, config.activation)
+    post, _ = svae_smm.smm_combine(
+        pot_h, pot_p, exp, config.dof, config.smm_iters, config.jitter
+    )
+
+    k_cat, k_norm = jax.random.split(key)
+    gumbel = jax.random.gumbel(
+        k_cat, (num_samples,) + post.log_resp.shape, dtype=x.dtype
+    )
+    choice = jnp.argmax(post.log_resp[None] + gumbel, axis=-1)  # (S, N)
+    z_all = svae_mod.sample_posterior(k_norm, post, num_samples)
+    z = jnp.take_along_axis(z_all, choice[..., None, None], axis=2)[:, :, 0, :]
+
+    log_q = _mixture_log_q(z, post)
+    log_prior = _expected_smm_log_prob(z, exp, config.dof)
+    loglik = nets.log_likelihood(
+        nn_params["decoder"], z, x[None], config.likelihood, config.activation
+    )
+    log_w = loglik + log_prior - log_q
+    return jax.nn.logsumexp(log_w, axis=0) - jnp.log(float(num_samples))
+
+
 def vae_iw_loglik(
     params: dict,
     x: jnp.ndarray,

@@ -25,14 +25,16 @@ def plot_gmm_clusters(
     x: np.ndarray,
     resp: np.ndarray,
     nat,
-    path: str | Path,
+    path: str | Path | None,
     title: str = "",
     min_weight: float = 0.01,
+    ax=None,
 ) -> None:
     """Scatter of 2-D data colored by argmax responsibility + NIW ellipses.
 
     ``nat`` is a GmmNat; component ellipses use E[μ] = m and the expected
-    covariance E[Σ] = Φ/(ν − d − 1) of the NIW posterior.
+    covariance E[Σ] = Φ/(ν − d − 1) of the NIW posterior. With ``ax``
+    given, draws into that axes (caller owns the figure; ``path`` ignored).
     """
     import matplotlib
 
@@ -54,7 +56,9 @@ def plot_gmm_clusters(
     weights = np.asarray(resp).sum(0)
     weights = weights / weights.sum()
 
-    fig, ax = plt.subplots(figsize=(6, 6))
+    own_fig = ax is None
+    if own_fig:
+        fig, ax = plt.subplots(figsize=(6, 6))
     hard = np.asarray(resp).argmax(-1)
     cmap = plt.get_cmap("tab10")
     ax.scatter(x[:, 0], x[:, 1], c=[cmap(h % 10) for h in hard], s=8, alpha=0.6)
@@ -68,17 +72,19 @@ def plot_gmm_clusters(
         ax.scatter(*m[j], marker="x", color=cmap(j % 10), s=60)
     ax.set_title(title or "GMM clusters")
     ax.set_aspect("equal")
-    fig.tight_layout()
-    Path(path).parent.mkdir(parents=True, exist_ok=True)
-    fig.savefig(path, dpi=120)
-    plt.close(fig)
+    if own_fig:
+        fig.tight_layout()
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
 
 
 def plot_latent_space(
-    z_mean: np.ndarray, resp: np.ndarray, nat, path: str | Path, title: str = ""
+    z_mean: np.ndarray, resp: np.ndarray, nat, path: str | Path | None,
+    title: str = "", ax=None,
 ) -> None:
     """Latent scatter (posterior means, responsibility-weighted) + ellipses."""
-    plot_gmm_clusters(z_mean, resp, nat, path, title=title or "latent space")
+    plot_gmm_clusters(z_mean, resp, nat, path, title=title or "latent space", ax=ax)
 
 
 def plot_training_curves(jsonl_path: str | Path, path: str | Path, keys=("elbo",)) -> None:

@@ -134,3 +134,63 @@ def test_forward_f32_matches_f64():
     )
     rel = abs(float(out32.elbo - out64.elbo)) / abs(float(out64.elbo))
     assert rel < 1e-4, f"f32 SMM-SVAE ELBO rel dev {rel:.2e}"
+
+
+def test_smm_iw_loglik_reduces_to_gmm_iw():
+    """dof → ∞: the Student-t expected-parameter density and the SMM IW
+    bound both collapse to their GMM counterparts (same key, same draws)."""
+    from svax.models import evaluation
+
+    x, key, config, prior, nn, nat, eps = _setup(dof=1e9, n=40)
+    iw_smm = evaluation.svae_smm_iw_loglik(nn, nat, x, key, config, num_samples=16)
+    iw_gmm = evaluation.svae_iw_loglik(
+        nn, nat, x, key, config._replace(dof=0.0), num_samples=16
+    )
+    np.testing.assert_allclose(
+        np.asarray(iw_smm), np.asarray(iw_gmm), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_expected_smm_log_prob_vs_quadrature():
+    """The closed-form u-marginal matches numerical quadrature over u.
+
+    p̄(z|k) = ∫ Gamma(u; a₀,b₀) · exp(E[log p(z|u,θ,k)]) du — like the GMM's
+    p̄ = exp(E[log p]) this is intentionally UNNORMALIZED in z (Jensen gap),
+    so the oracle is the u-integral, not ∫dz = 1.
+    """
+    from scipy.integrate import quad as scipy_quad
+    from scipy.stats import gamma as scipy_gamma
+
+    from svax.models import evaluation
+
+    _, key, config, prior, nn, nat, _ = _setup(dof=4.0, k=3)
+    exp = gmm.expected_params(nat)
+    dof = 4.0
+    a0 = b0 = 0.5 * dof
+    d = 2
+    zs = np.asarray([[0.3, -1.2], [5.0, 2.0], [-12.0, 7.0]])
+    got = np.asarray(evaluation._expected_smm_log_prob(jnp.asarray(zs), exp, dof))
+
+    prec = np.asarray(exp.prec)
+    prec_mean = np.asarray(exp.prec_mean)
+    quad_k = np.asarray(exp.quad)
+    logdet = np.asarray(exp.logdet)
+    log_pi = np.asarray(exp.log_pi)
+    for zi, z in enumerate(zs):
+        vals = []
+        for k in range(3):
+            q_z = z @ prec[k] @ z - 2.0 * z @ prec_mean[k] + quad_k[k]
+
+            def integrand(u, k=k, q_z=q_z):
+                e_logp = (
+                    0.5 * d * np.log(u)
+                    - 0.5 * d * np.log(2 * np.pi)
+                    + 0.5 * logdet[k]
+                    - 0.5 * u * q_z
+                )
+                return scipy_gamma.pdf(u, a=a0, scale=1.0 / b0) * np.exp(e_logp)
+
+            val, _ = scipy_quad(integrand, 0.0, np.inf, limit=200)
+            vals.append(np.exp(log_pi[k]) * val)
+        want = np.log(np.sum(vals))
+        np.testing.assert_allclose(got[zi], want, rtol=1e-6)
