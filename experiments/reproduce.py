@@ -51,7 +51,7 @@ def run_gmm(args, results):
 
 
 def run_svae(name, dataset, args, results, k=10, d=2, s=4, hidden=(50, 50),
-             batch=0, steps_full=2000, rho=0.05, dp=False):
+             batch=0, steps_full=2000, rho=0.05, dp=False, dof=0.0):
     import jax
     import jax.numpy as jnp
     import optax
@@ -74,8 +74,12 @@ def run_svae(name, dataset, args, results, k=10, d=2, s=4, hidden=(50, 50),
     batch = batch or n
     config = SvaeConfig(
         latent_dim=d, num_components=k, num_samples=s,
-        likelihood=meta["likelihood"], num_total=n,
+        likelihood=meta["likelihood"], num_total=n, dof=dof,
     )
+    if dof > 0.0:
+        from svax.models import svae_smm as model
+    else:
+        from svax.models import svae as model
     prior = gmm.make_prior(k, d, alpha=1.0, kappa=0.05)
     opt = optax.adam(1e-3)
     key = jax.random.PRNGKey(0)
@@ -88,12 +92,14 @@ def run_svae(name, dataset, args, results, k=10, d=2, s=4, hidden=(50, 50),
         ndev = m.devices.size
         batch = max(ndev, (batch // ndev) * ndev)
         step = pmesh.data_parallel_step(
-            svae_step.make_train_step(config, prior, opt, rho, axis_name="data"), m
+            svae_step.make_train_step(
+                config, prior, opt, rho, axis_name="data", model=model
+            ), m
         )
     else:
         dp = False
-        step = jax.jit(svae_step.make_train_step(config, prior, opt, rho))
-    evaluate = jax.jit(svae_step.make_eval_fn(config, prior))
+        step = jax.jit(svae_step.make_train_step(config, prior, opt, rho, model=model))
+    evaluate = jax.jit(svae_step.make_eval_fn(config, prior, model=model))
 
     kk = key
     t0 = time.perf_counter()
@@ -134,6 +140,7 @@ def main() -> None:
              batch=256, steps_full=5000, rho=0.1)
     run_svae("bigk-dp", "mnist", args, results, k=100, d=10, s=1,
              hidden=(200, 200), batch=512, steps_full=1000, rho=0.1, dp=True)
+    run_svae("pinwheel-svae-smm", "pinwheel", args, results, dof=4.0)
 
     for name, row in results.items():
         if isinstance(row, dict):

@@ -15,9 +15,11 @@ Mean-field structured posterior  q(z, u, k | x) = r̃_nk q(z|n,k) q(u|n,k):
   μ̃ = J̃⁻¹(hₙ + ū·E[Λμ]_k)                 (SIN combine, ū = E_q[u]);
 * q(u|n,k) = Gamma(a, b) with a = a₀ + d/2,
   b = b₀ + ½·Q_nk,  Q = E[(z−μ_k)ᵀΛ_k(z−μ_k)] under q(z)q(θ);
-* r̃ = softmax_k(A_nk) where A_nk is the per-component free energy
-  E[log p̄(z,u|k)π_k] + H[q(z)] + H[q(u)] — so the per-point local term
-  collapses to logsumexp_k A_nk exactly as in the GMM case.
+* r̃ follows the SIN product-normalizer convention of the GMM-prior SVAE
+  (the ū-scaled product-of-Gaussians log-normalizer plus E[log π_k] and
+  the u-subproblem free energy); the per-point local term is the explicit
+  Σ_k r̃ (A_nk − log r̃_nk) with A_nk the per-component free energy
+  E[log p̄(z,u|k)π_k] + H[q(z)] + H[q(u)] — a valid bound for any r̃.
 
 The u–z coupling is resolved by ``config.smm_iters`` coordinate rounds
 inside the jitted forward (ū=1 → z-update → u-update, repeated; final
@@ -91,6 +93,7 @@ def smm_combine(
     dof: float,
     num_iters: int = 2,
     jitter: float = 0.0,
+    axis_comp: str | None = None,
 ) -> SmmPosterior:
     """Coordinate-ascent u–z combine; returns the converged posterior family.
 
@@ -142,7 +145,11 @@ def smm_combine(
         - 0.5 * logdet
         + u_free
     )
-    log_resp = jax.nn.log_softmax(log_rho, axis=-1)
+    if axis_comp is None:
+        log_resp = jax.nn.log_softmax(log_rho, axis=-1)
+    else:
+        # K-sharded components: the softmax normalizer rides the mesh axis.
+        log_resp = log_rho - gmm.lse_over_components(log_rho, axis_comp)[:, None]
 
     # Per-component free energy A_nk for the explicit local bound term:
     e_log_pz = (
@@ -192,24 +199,25 @@ def forward(
     """Full SMM-prior SVAE forward → structured ELBO + CVI payload.
 
     ``config.dof`` (> 0) is the Student-t degrees of freedom;
-    ``config.smm_iters`` the u–z coordinate rounds. Component parallelism
-    is not wired for the SMM variant (the free-energy softmax would need
-    the cross-shard lse); use data parallelism for scale.
+    ``config.smm_iters`` the u–z coordinate rounds. With ``axis_comp`` the
+    PGM naturals/outputs hold K-shards over that mesh axis (component
+    parallelism, same contract as the GMM-prior forward): the u–z
+    coordinate rounds are K-local, only the responsibility normalizer and
+    the Σ_k reductions ride the axis.
     """
-    if axis_comp is not None:
-        raise NotImplementedError("SMM-prior SVAE: axis_comp not supported")
     assert config.dof > 0.0, "config.dof must be set (> 0) for the SMM prior"
     from svax.models import svae as svae_mod
 
     n = x.shape[0]
     scale = config.num_total / n
 
-    exp = gmm.expected_params(pgm_nat)
+    exp = gmm.expected_params(pgm_nat, axis_comp=axis_comp)
     pot_h, pot_p = nets.encoder_apply(
         nn_params["encoder"], x, config.activation, config.nn_precision
     )
     post, free_energy = smm_combine(
-        pot_h, pot_p, exp, config.dof, config.smm_iters, config.jitter
+        pot_h, pot_p, exp, config.dof, config.smm_iters, config.jitter,
+        axis_comp=axis_comp,
     )
     resp = jnp.exp(post.log_resp)
 
@@ -231,7 +239,11 @@ def forward(
     # here r̃ follows the SIN product-normalizer convention, so the
     # explicit sum (not a logsumexp collapse) is required.
     local = -scale * jnp.sum(resp * (free_energy - post.log_resp))
-    global_kl = gmm.kl_global(pgm_nat, prior_nat)
+    if axis_comp is not None:
+        # Σ_k reductions completed across the component shards.
+        recon = jax.lax.psum(recon, axis_comp)
+        local = jax.lax.psum(local, axis_comp)
+    global_kl = gmm.kl_global(pgm_nat, prior_nat, axis_comp=axis_comp)
     elbo = recon - local - global_kl
 
     stats = suff_stats_latent(post, scale)

@@ -126,3 +126,50 @@ def test_trainer_component_shards():
     state = trainer.fit(x)
     assert int(state.step) == 10
     assert np.isfinite(float(state.pgm_nat.dir_nat.sum()))
+
+
+def test_comp_sharded_smm_svae_step_pgm_exact(key):
+    """The SMM-prior SVAE's comp-sharded step matches single-device exactly
+    on the PGM update and the MC-free ELBO pieces (same contract as the
+    GMM-prior test above; the u-z coordinate rounds are K-local)."""
+    from svax.models import svae_smm
+
+    n_data, n_comp = 2, 4
+    k, d = 8, 2
+    x = jnp.asarray(
+        make_pinwheel_data(num_classes=4, num_per_class=16, seed=2), dtype=jnp.float64
+    )
+    n = x.shape[0]
+    config = SvaeConfig(
+        latent_dim=d, num_components=k, num_samples=1, num_total=n, dof=4.0
+    )
+    prior = gmm.make_prior(k, d, dtype=jnp.float64)
+    opt = optax.adam(1e-3)
+    state = svae_step.init_state(
+        key, 2, config, prior, opt, (8,), (8,), data=x, dtype=jnp.float64
+    )
+
+    single = jax.jit(
+        svae_step.make_train_step(config, prior, opt, rho=0.4, model=svae_smm)
+    )
+    ref_state, ref_metrics = single(state, x, key)
+
+    mesh = pmesh.make_data_comp_mesh(n_data, n_comp)
+    builder = lambda prior_l: svae_step.make_train_step(  # noqa: E731
+        config, prior_l, opt, rho=0.4, axis_name="data", axis_comp="comp",
+        model=svae_smm,
+    )
+    dp = pmesh.data_comp_parallel_step(builder, prior, mesh)
+    x_sharded = jax.device_put(x, NamedSharding(mesh, P("data")))
+    got_state, got_metrics = dp(state, x_sharded, key)
+
+    for a, b in zip(
+        jax.tree.leaves(got_state.pgm_nat), jax.tree.leaves(ref_state.pgm_nat)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(
+        float(got_metrics["local_kl"]), float(ref_metrics["local_kl"]), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        float(got_metrics["global_kl"]), float(ref_metrics["global_kl"]), rtol=1e-9
+    )
