@@ -30,6 +30,8 @@ def main() -> None:
     p.add_argument("--alpha", type=float, default=1.0)
     p.add_argument("--kappa", type=float, default=0.05)
     p.add_argument("--iw-samples", type=int, default=200)
+    p.add_argument("--smm-dof", type=float, default=0.0,
+                   help="evaluate an SMM-prior checkpoint (Student-t dof; 0 = GMM)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", choices=["default", "cpu"], default="default")
     p.add_argument("--plot", type=str, default="")
@@ -59,7 +61,12 @@ def main() -> None:
         num_samples=args.num_samples,
         likelihood=meta["likelihood"],
         num_total=n,
+        dof=args.smm_dof,
     )
+    if args.smm_dof > 0.0:
+        from svax.models import svae_smm as model
+    else:
+        model = svae
     prior = gmm.make_prior(args.num_components, args.latent_dim, alpha=args.alpha, kappa=args.kappa)
     opt = optax.adam(1e-3)
     key = jax.random.PRNGKey(args.seed)
@@ -73,9 +80,13 @@ def main() -> None:
     if step == 0:
         raise SystemExit(f"no checkpoint found in {args.checkpoint_dir}")
 
-    evaluate = jax.jit(svae_step.make_eval_fn(config, prior))
+    evaluate = jax.jit(svae_step.make_eval_fn(config, prior, model=model))
     ev = evaluate(state, x_test, key)
-    iw = evaluation.svae_iw_loglik(
+    iw_fn = (
+        evaluation.svae_smm_iw_loglik if args.smm_dof > 0.0
+        else evaluation.svae_iw_loglik
+    )
+    iw = iw_fn(
         state.nn_params, state.pgm_nat, x_test, key, config, args.iw_samples
     )
     print(
@@ -95,7 +106,7 @@ def main() -> None:
 
         from svax.utils import viz
 
-        out = svae.forward(
+        out = model.forward(
             state.nn_params, state.pgm_nat, prior, x_test, key,
             config._replace(num_samples=1),
         )
