@@ -45,7 +45,8 @@ def _chip_peaks():
 def analyze(name: str, k: int, d: int, s: int, hidden, batch: int,
             input_dim: int = 784, likelihood: str = "bernoulli",
             chunk: int = 20, n_chunks: int = 4, remat: bool = False,
-            precision: str = "high", fused_decoder: bool = False):
+            precision: str = "high", fused_decoder: bool = False,
+            compute_dtype: str = "float32"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -62,7 +63,7 @@ def analyze(name: str, k: int, d: int, s: int, hidden, batch: int,
     config = SvaeConfig(
         latent_dim=d, num_components=k, num_samples=s, likelihood=likelihood,
         num_total=batch, nn_precision=prec, remat_combine=remat,
-        fused_decoder=fused_decoder,
+        fused_decoder=fused_decoder, nn_compute_dtype=compute_dtype,
     )
     rng = np.random.default_rng(0)
     x = jnp.asarray(
@@ -125,7 +126,9 @@ def analyze(name: str, k: int, d: int, s: int, hidden, batch: int,
         "remat": remat,
         "fused_decoder": fused_decoder,
         "precision": precision,
+        "compute_dtype": compute_dtype,
         "elbo_finite": bool(jnp.isfinite(m["elbo"][-1])),
+        "final_elbo": float(m["elbo"][-1]),
     }
     print(json.dumps(row), flush=True)
     return row
@@ -138,6 +141,10 @@ def main() -> None:
     p.add_argument("--fused-decoder", action="store_true")
     p.add_argument("--precision", choices=["highest", "high", "default"],
                    default="high")
+    p.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="decoder-body compute dtype (bfloat16 halves the "
+                        "dominant HBM streams; see SvaeConfig)")
     args = p.parse_args()
     import jax
 
@@ -145,11 +152,13 @@ def main() -> None:
     if args.config in ("bigk", "both"):
         analyze("bigk-single-chip", k=100, d=10, s=1, hidden=(200, 200),
                 batch=1024, remat=args.remat, precision=args.precision,
-                fused_decoder=args.fused_decoder)
+                fused_decoder=args.fused_decoder,
+                compute_dtype=args.compute_dtype)
     if args.config in ("mnist", "both"):
         analyze("mnist-svae", k=10, d=8, s=1, hidden=(200, 200), batch=256,
                 remat=args.remat, precision=args.precision,
-                fused_decoder=args.fused_decoder)
+                fused_decoder=args.fused_decoder,
+                compute_dtype=args.compute_dtype)
 
 
 if __name__ == "__main__":

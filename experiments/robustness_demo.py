@@ -30,6 +30,15 @@ def main() -> None:
     p.add_argument("--scan-chunk", type=int, default=500)
     p.add_argument("--platform", choices=["default", "cpu"], default="default")
     p.add_argument("--plot", type=str, default="")
+    p.add_argument(
+        "--activation", choices=["tanh", "relu"], default="tanh",
+        help="encoder/decoder hidden activation. tanh saturates large "
+             "inputs, so input-space box outliers reach the latent space "
+             "at ordinary magnitudes (measured-neutral GMM vs SMM, "
+             "BASELINE.md); relu passes them through — the latent-"
+             "contamination regime where the Student-t prior's "
+             "downweighting has something to act on.",
+    )
     args = p.parse_args()
 
     import jax
@@ -57,10 +66,11 @@ def main() -> None:
 
     results = {}
     posteriors = {}
+    act = {"tanh": jnp.tanh, "relu": jax.nn.relu}[args.activation]
     for name, model, dof in (("gmm", svae, 0.0), ("smm", svae_smm, args.dof)):
         config = SvaeConfig(
             latent_dim=2, num_components=args.num_components, num_samples=2,
-            num_total=n, dof=dof,
+            num_total=n, dof=dof, activation=act,
         )
         prior = gmm.make_prior(args.num_components, 2, kappa=0.05)
         opt = optax.adam(1e-3)
@@ -103,6 +113,7 @@ def main() -> None:
 
     results["dof"] = args.dof
     results["outlier_fraction"] = args.outlier_fraction
+    results["activation"] = args.activation
     print(json.dumps(results, indent=2))
 
     if args.plot:

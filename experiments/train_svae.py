@@ -53,6 +53,10 @@ def main() -> None:
     p.add_argument("--plot", type=str, default="", help="write cluster plot PNG here")
     p.add_argument("--logfile", type=str, default="")
     p.add_argument("--checkpoint-dir", type=str, default="")
+    p.add_argument("--bundle-dir", type=str, default="",
+                   help="write a self-describing serving bundle here at the "
+                        "end of training (svax.serve.load_bundle restores "
+                        "it with zero flags)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--debug-nans", action="store_true",
                    help="raise on first NaN (jax_debug_nans)")
@@ -63,6 +67,11 @@ def main() -> None:
                         "default=single-pass bf16")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize the SIN combine (large batch/K memory)")
+    p.add_argument("--nn-compute-dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="decoder-body compute dtype: bfloat16 halves the "
+                        "dominant HBM streams of memory-bound big-K steps "
+                        "(f32 accumulation of every (n,k) reduction)")
     p.add_argument("--smm-dof", type=float, default=0.0,
                    help="Student-t mixture latent prior with this many "
                         "degrees of freedom (0 = Gaussian mixture prior)")
@@ -120,6 +129,7 @@ def main() -> None:
         remat_combine=args.remat,
         dof=args.smm_dof,
         smm_iters=args.smm_iters,
+        nn_compute_dtype=args.nn_compute_dtype,
     )
     model = svae_mod_select(args.smm_dof)
     prior = gmm.make_prior(
@@ -287,6 +297,30 @@ def main() -> None:
     if ckpt is not None:
         ckpt.save(args.steps, state, k_run)
         ckpt.close()
+    if args.bundle_dir:
+        from svax import serve
+
+        act_name = "tanh" if config.activation is jnp.tanh else "relu"
+        serve.save_bundle(
+            args.bundle_dir,
+            state,
+            serve.ModelSpec(
+                input_dim=input_dim,
+                latent_dim=args.latent_dim,
+                num_components=args.num_components,
+                likelihood=likelihood,
+                encoder_hidden=tuple(args.encoder_hidden),
+                decoder_hidden=tuple(args.decoder_hidden),
+                num_samples=args.num_samples,
+                alpha=args.alpha,
+                kappa=args.kappa,
+                dof=args.smm_dof,
+                smm_iters=args.smm_iters,
+                activation=act_name,
+                num_total=n,
+            ),
+        )
+        print(f"wrote serving bundle to {args.bundle_dir}")
     if logf:
         logf.close()
 

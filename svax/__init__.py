@@ -16,6 +16,9 @@ Layer map (SURVEY.md §2):
 * L4' ``svax.parallel`` — device mesh / shard_map data parallelism (psum of
         sufficient statistics over ICI)
 * L5  ``svax.data``     — pinwheel / UCI-Auto / MNIST loaders
+* L6  ``svax.serve``    — self-describing model bundles + bucketed,
+        recompile-free batch inference (encode / score / reconstruct /
+        generate); rebuild-first, no reference counterpart
 
 Note: the reference mount was empty during the survey (SURVEY.md §0), so
 docstrings cite SURVEY.md sections and paper equations rather than
@@ -24,4 +27,4 @@ docstrings cite SURVEY.md sections and paper equations rather than
 
 __version__ = "0.1.0"
 
-from svax import data, expfam, models, nets, ops, parallel, pgm, train  # noqa: F401
+from svax import data, expfam, models, nets, ops, parallel, pgm, serve, train  # noqa: F401

@@ -67,6 +67,18 @@ class SvaeConfig(NamedTuple):
     # it) and the number of u–z coordinate rounds inside the combine.
     dof: float = 0.0
     smm_iters: int = 2
+    # Decoder compute dtype: "bfloat16" runs the (S·N·K)-row decoder body
+    # (hidden activations + logits) in bf16 with f32 accumulation of every
+    # (n, k) reduction — halves the dominant HBM streams of the memory-
+    # bound big-K step (benchmarks/mfu.py). "float32" keeps the parity
+    # path exact; the PGM/conjugate path is unaffected either way.
+    nn_compute_dtype: str = "float32"
+
+    @property
+    def decoder_compute_dtype(self):
+        return None if self.nn_compute_dtype == "float32" else jnp.dtype(
+            self.nn_compute_dtype
+        )
 
 
 class SinPosterior(NamedTuple):
@@ -226,6 +238,7 @@ def forward(
         loglik = nets.bernoulli_loglik_decomposed(
             nn_params["decoder"], z, x, config.activation, config.nn_precision,
             fused=config.fused_decoder,
+            compute_dtype=config.decoder_compute_dtype,
         )
     else:
         loglik = nets.log_likelihood(
@@ -235,6 +248,7 @@ def forward(
             config.likelihood,
             config.activation,
             config.nn_precision,
+            compute_dtype=config.decoder_compute_dtype,
         )  # (S, N, K)
     recon_nk = jnp.mean(loglik, axis=0)  # (N, K)
     recon = scale * jnp.sum(resp * recon_nk)

@@ -226,11 +226,13 @@ def forward(
         loglik = nets.bernoulli_loglik_decomposed(
             nn_params["decoder"], z, x, config.activation, config.nn_precision,
             fused=config.fused_decoder,
+            compute_dtype=config.decoder_compute_dtype,
         )
     else:
         loglik = nets.log_likelihood(
             nn_params["decoder"], z, x[None, :, None, :], config.likelihood,
             config.activation, config.nn_precision,
+            compute_dtype=config.decoder_compute_dtype,
         )
     recon_nk = jnp.mean(loglik, axis=0)
     recon = scale * jnp.sum(resp * recon_nk)

@@ -114,9 +114,22 @@ def decoder_apply(
     likelihood: str = "gaussian",
     activation: Callable = jnp.tanh,
     precision=jax.lax.Precision.HIGHEST,
+    compute_dtype=None,
 ):
-    """z (..., d) → likelihood params: (mean, var) or logits."""
+    """z (..., d) → likelihood params: (mean, var) or logits.
+
+    ``compute_dtype=jnp.bfloat16`` runs the MLP body (matmuls + hidden
+    activations) in bf16 and returns f32 head params — the per-row HBM
+    bandwidth play for huge (S·N·K)-row batches; head math stays f32 so
+    the variance floor survives.
+    """
+    if compute_dtype is not None:
+        z = z.astype(compute_dtype)
+        params = jax.tree.map(lambda p: p.astype(compute_dtype), params)
+        precision = jax.lax.Precision.DEFAULT
     out = mlp_apply(params, z, activation, precision)
+    if compute_dtype is not None:
+        out = out.astype(jnp.float32)
     if likelihood == "gaussian":
         mean, raw = jnp.split(out, 2, axis=-1)
         return mean, jax.nn.softplus(raw) + _VAR_FLOOR
@@ -145,6 +158,7 @@ def bernoulli_loglik_decomposed(
     activation: Callable = jnp.tanh,
     precision=jax.lax.Precision.HIGHEST,
     fused: bool = False,
+    compute_dtype=None,
 ) -> jnp.ndarray:
     """Bernoulli log-lik via ll = ⟨x, o⟩ + Σ_D logσ(−o) (since
     logσ(o) − logσ(−o) = o): the x-dependent part reduces to tiny matmuls
@@ -158,7 +172,23 @@ def bernoulli_loglik_decomposed(
     both directions instead of costing ~2·rows·D·4 bytes of HBM traffic
     per pass — the big-K step is memory-bound (benchmarks/mfu.py), so this
     is a bandwidth play, not a FLOP play. Off-TPU it falls back here.
+
+    ``compute_dtype=jnp.bfloat16`` runs the big (S·N·K)-row tensors — the
+    hidden activations and the logits — in bf16, HALVING their HBM traffic
+    in both directions (the residuals XLA saves for the backward shrink
+    too). All (n, k)-shaped reductions still accumulate in f32: the ⟨x, o⟩
+    einsum via ``preferred_element_type`` and the x-free row-sum via an
+    f32-accumulating ``jnp.sum``, so only the elementwise storage is lossy.
+    A bandwidth play for the memory-bound big-K step; None keeps full f32.
     """
+    if compute_dtype is not None:
+        out_dtype = z.dtype
+        z = z.astype(compute_dtype)
+        x = x.astype(compute_dtype)
+        params = jax.tree.map(lambda p: p.astype(compute_dtype), params)
+        precision = jax.lax.Precision.DEFAULT
+    else:
+        out_dtype = None
     h = z
     for layer in params[:-1]:
         h = activation(
@@ -166,9 +196,17 @@ def bernoulli_loglik_decomposed(
         )
     last = params[-1]
     y = jnp.dot(x, last["w"].T, precision=precision)  # (N, Dh)
-    c = jnp.dot(x, last["b"], precision=precision)  # (N,)
+    c = jnp.dot(
+        x, last["b"], precision=precision, preferred_element_type=jnp.float32
+    )  # (N,)
     t = (
-        jnp.einsum("...nkh,nh->...nk", h, y, precision=precision)
+        jnp.einsum(
+            "...nkh,nh->...nk",
+            h,
+            y,
+            precision=precision,
+            preferred_element_type=jnp.float32,
+        )
         + c[..., :, None]
     )
     if fused and jax.default_backend() == "tpu":
@@ -178,7 +216,9 @@ def bernoulli_loglik_decomposed(
             h, last["w"], last["b"], precision=precision
         )
     o = jnp.dot(h, last["w"], precision=precision) + last["b"]
-    return t + jnp.sum(jax.nn.log_sigmoid(-o), axis=-1)
+    rowsum = jnp.sum(jax.nn.log_sigmoid(-o), axis=-1, dtype=jnp.float32)
+    ll = t + rowsum
+    return ll if out_dtype is None else ll.astype(out_dtype)
 
 
 def log_likelihood(
@@ -188,10 +228,13 @@ def log_likelihood(
     likelihood: str = "gaussian",
     activation: Callable = jnp.tanh,
     precision=jax.lax.Precision.HIGHEST,
+    compute_dtype=None,
 ) -> jnp.ndarray:
     """log p(x | z) under the configured head; broadcasts over sample axes."""
     if likelihood == "gaussian":
-        mean, var = decoder_apply(params, z, likelihood, activation, precision)
+        mean, var = decoder_apply(
+            params, z, likelihood, activation, precision, compute_dtype
+        )
         return gaussian_loglik(x, mean, var)
-    logits = decoder_apply(params, z, likelihood, activation, precision)
+    logits = decoder_apply(params, z, likelihood, activation, precision, compute_dtype)
     return bernoulli_loglik(x, logits)

@@ -1,0 +1,266 @@
+"""Inference / serving layer: self-describing model bundles + a batched,
+recompile-free prediction server.
+
+The reference had no serving story (training scripts only — SURVEY.md §2:
+"no serving layer"); this module is a rebuild-first component for the
+production side of the framework:
+
+* **Bundles.** ``save_bundle`` writes the trained state (orbax) next to a
+  ``spec.json`` capturing the full architecture/hyperparameters, so
+  ``load_bundle`` can reconstruct the model with ZERO caller-side flags —
+  unlike the training-time checkpoints, which assume the caller re-supplies
+  the config (experiments/evaluate.py).
+* **Bucketed batching.** XLA compiles one executable per input shape; a
+  serving path that jits on raw request sizes recompiles for every new
+  batch size (seconds to minutes through a remote-TPU tunnel). The server
+  pads every request up to a fixed bucket ladder, so at most
+  ``len(buckets)`` executables exist per endpoint and steady-state requests
+  are pure dispatch. Padding rows are computed and discarded — every
+  endpoint here is row-independent, so garbage rows cannot contaminate
+  real ones.
+
+Endpoints: ``encode`` (structured posterior: latent mean, responsibilities,
+hard cluster), ``score`` (importance-weighted log-likelihood per point),
+``reconstruct`` (decoder pass at the posterior mean), and ``generate``
+(sample the generative model). GMM- and SMM-prior (Student-t) SVAEs both
+serve; the plain VAE has its own lighter path via ``evaluation.vae_iw_loglik``.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass, field
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from svax.models.svae import SvaeConfig
+
+_ACTIVATIONS = {"tanh": jnp.tanh, "relu": jax.nn.relu, "softplus": jax.nn.softplus}
+_SPEC_FILE = "spec.json"
+_DEFAULT_BUCKETS = (32, 128, 512, 2048, 8192)
+
+
+@dataclass(frozen=True)
+class ModelSpec:
+    """Everything needed to rebuild the model skeleton from disk."""
+
+    input_dim: int
+    latent_dim: int
+    num_components: int
+    likelihood: str = "gaussian"
+    encoder_hidden: tuple = (50, 50)
+    decoder_hidden: tuple = (50, 50)
+    num_samples: int = 1
+    alpha: float = 1.0
+    kappa: float = 0.05
+    dof: float = 0.0  # > 0 → Student-t (SMM) latent prior
+    smm_iters: int = 2
+    activation: str = "tanh"
+    num_total: int = 1
+
+    def to_config(self) -> SvaeConfig:
+        return SvaeConfig(
+            latent_dim=self.latent_dim,
+            num_components=self.num_components,
+            num_samples=self.num_samples,
+            likelihood=self.likelihood,
+            num_total=self.num_total,
+            activation=_ACTIVATIONS[self.activation],
+            dof=self.dof,
+            smm_iters=self.smm_iters,
+        )
+
+    def make_prior(self):
+        from svax.pgm import gmm
+
+        return gmm.make_prior(
+            self.num_components, self.latent_dim, alpha=self.alpha, kappa=self.kappa
+        )
+
+
+def save_bundle(directory: str | Path, state, spec: ModelSpec) -> None:
+    """Write a self-describing serving bundle: orbax state + spec.json.
+
+    ``state`` is the SvaeTrainState (its optimizer state rides along — it
+    is small at these model sizes and keeps the bundle resumable).
+    """
+    from svax.train.checkpoint import Checkpointer
+
+    directory = Path(directory)
+    directory.mkdir(parents=True, exist_ok=True)
+    ckpt = Checkpointer(directory / "state")
+    ckpt.save(int(state.step), state, jax.random.PRNGKey(0))
+    ckpt.close()
+    payload = asdict(spec)
+    payload["encoder_hidden"] = list(spec.encoder_hidden)
+    payload["decoder_hidden"] = list(spec.decoder_hidden)
+    (directory / _SPEC_FILE).write_text(json.dumps(payload, indent=2))
+
+
+def load_bundle(directory: str | Path, buckets=_DEFAULT_BUCKETS) -> "SvaeServer":
+    """Rebuild a server from ``save_bundle`` output — no caller-side flags."""
+    import optax
+
+    from svax.train import svae_step
+    from svax.train.checkpoint import Checkpointer
+
+    directory = Path(directory)
+    raw = json.loads((directory / _SPEC_FILE).read_text())
+    raw["encoder_hidden"] = tuple(raw["encoder_hidden"])
+    raw["decoder_hidden"] = tuple(raw["decoder_hidden"])
+    spec = ModelSpec(**raw)
+    template = svae_step.init_state(
+        jax.random.PRNGKey(0),
+        spec.input_dim,
+        spec.to_config(),
+        spec.make_prior(),
+        optax.adam(1e-3),
+        spec.encoder_hidden,
+        spec.decoder_hidden,
+    )
+    ckpt = Checkpointer(directory / "state")
+    if ckpt.latest_step() is None:
+        ckpt.close()
+        raise FileNotFoundError(f"no saved state under {directory / 'state'}")
+    state, _, _ = ckpt.restore_or(template, jax.random.PRNGKey(0))
+    ckpt.close()
+    return SvaeServer(state.nn_params, state.pgm_nat, spec, buckets=buckets)
+
+
+class SvaeServer:
+    """Batched, recompile-free inference over a trained (GMM|SMM)-SVAE.
+
+    All endpoints accept numpy or jax arrays of shape (n, input_dim) for
+    any n ≥ 1 and return numpy arrays of the same leading length. Requests
+    are padded to a fixed bucket ladder so each endpoint compiles at most
+    ``len(buckets)`` times; oversize requests are chunked over the largest
+    bucket.
+    """
+
+    def __init__(self, nn_params, pgm_nat, spec: ModelSpec,
+                 buckets=_DEFAULT_BUCKETS):
+        from svax.models import svae as svae_mod
+        from svax.nets import mlp as nets
+        from svax.pgm import gmm
+
+        self.spec = spec
+        self.config = spec.to_config()
+        self._nn = nn_params
+        self._nat = pgm_nat
+        self._prior = spec.make_prior()
+        self._buckets = tuple(sorted(buckets))
+        dof = spec.dof
+        act = _ACTIVATIONS[spec.activation]
+
+        def posterior(x):
+            exp = gmm.expected_params(pgm_nat)
+            pot_h, pot_p = nets.encoder_apply(nn_params["encoder"], x, act)
+            if dof > 0.0:
+                from svax.models import svae_smm
+
+                post, _ = svae_smm.smm_combine(
+                    pot_h, pot_p, exp, dof, spec.smm_iters
+                )
+            else:
+                post = svae_mod.sin_combine(pot_h, pot_p, exp)
+            return post
+
+        def encode_fn(x):
+            post = posterior(x)
+            resp = jnp.exp(post.log_resp)
+            z_mean = jnp.einsum("nk,nkd->nd", resp, post.mean)
+            return {
+                "z_mean": z_mean,
+                "responsibilities": resp,
+                "component": jnp.argmax(post.log_resp, axis=-1),
+            }
+
+        def reconstruct_fn(x):
+            post = posterior(x)
+            resp = jnp.exp(post.log_resp)
+            z_mean = jnp.einsum("nk,nkd->nd", resp, post.mean)
+            out = nets.decoder_apply(
+                nn_params["decoder"], z_mean, spec.likelihood, act
+            )
+            if spec.likelihood == "gaussian":
+                return out[0]
+            return jax.nn.sigmoid(out)
+
+        def score_fn(x, key, num_samples):
+            from svax.models import evaluation
+
+            fn = (
+                evaluation.svae_smm_iw_loglik if dof > 0.0
+                else evaluation.svae_iw_loglik
+            )
+            return fn(nn_params, pgm_nat, x, key, self.config, num_samples)
+
+        self._encode = jax.jit(encode_fn)
+        self._reconstruct = jax.jit(reconstruct_fn)
+        self._score = jax.jit(score_fn, static_argnums=(2,))
+
+    # ------------------------------------------------------------- helpers
+
+    def _bucket(self, n: int) -> int:
+        for b in self._buckets:
+            if n <= b:
+                return b
+        return self._buckets[-1]
+
+    def _batched(self, fn, x, *args):
+        """Pad to the bucket ladder; chunk requests above the top bucket."""
+        x = np.asarray(x, dtype=np.float32)
+        if x.ndim == 1:
+            x = x[None]
+        n = x.shape[0]
+        top = self._buckets[-1]
+        outs = []
+        for start in range(0, n, top):
+            piece = x[start : start + top]
+            m = piece.shape[0]
+            b = self._bucket(m)
+            if m < b:
+                piece = np.concatenate(
+                    [piece, np.zeros((b - m,) + piece.shape[1:], piece.dtype)]
+                )
+            out = fn(jnp.asarray(piece), *args)
+            outs.append(jax.tree.map(lambda a: np.asarray(a)[:m], out))
+        if len(outs) == 1:
+            return outs[0]
+        return jax.tree.map(lambda *parts: np.concatenate(parts), *outs)
+
+    # ----------------------------------------------------------- endpoints
+
+    def encode(self, x):
+        """Structured posterior: z_mean (n,d), responsibilities (n,K),
+        hard component (n,)."""
+        return self._batched(self._encode, x)
+
+    def reconstruct(self, x):
+        """Decoder output at the posterior-mean latent: Gaussian mean or
+        Bernoulli pixel probabilities, (n, input_dim)."""
+        return self._batched(self._reconstruct, x)
+
+    def score(self, x, key=None, num_samples: int = 100):
+        """Per-point importance-weighted log-likelihood bound, (n,)."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        return self._batched(self._score, x, key, num_samples)
+
+    def cluster(self, x):
+        """Hard cluster assignment, (n,) int."""
+        return self.encode(x)["component"]
+
+    def generate(self, num: int, key=None, sample_params: bool = False):
+        """Sample the generative model: (x, z, component labels)."""
+        from svax.models import svae as svae_mod
+
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        x, z, labels = svae_mod.generate(
+            self._nn, self._nat, key, num, self.config, sample_params=sample_params
+        )
+        return np.asarray(x), np.asarray(z), np.asarray(labels)

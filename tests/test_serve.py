@@ -1,0 +1,110 @@
+"""Serving layer: bundle round-trip, bucketed batching, endpoint sanity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from svax import serve
+from svax.data import make_pinwheel_data
+from svax.pgm import gmm
+from svax.train import svae_step
+
+
+def _trained_state(spec, steps=30, seed=0):
+    key = jax.random.PRNGKey(seed)
+    x = jnp.asarray(make_pinwheel_data(num_per_class=20, seed=seed), jnp.float32)
+    config = spec.to_config()._replace(num_total=x.shape[0])
+    prior = spec.make_prior()
+    opt = optax.adam(1e-3)
+    state = svae_step.init_state(
+        key, spec.input_dim, config, prior, opt,
+        spec.encoder_hidden, spec.decoder_hidden, data=x,
+    )
+    model = None
+    if spec.dof > 0.0:
+        from svax.models import svae_smm as model  # noqa: F811
+    kwargs = {} if model is None else {"model": model}
+    step = jax.jit(svae_step.make_train_step(config, prior, opt, rho=0.1, **kwargs))
+    for i in range(steps):
+        state, _ = step(state, x, jax.random.fold_in(key, i))
+    return state, x
+
+
+@pytest.fixture(scope="module")
+def spec():
+    return serve.ModelSpec(
+        input_dim=2, latent_dim=2, num_components=4, likelihood="gaussian",
+        encoder_hidden=(16,), decoder_hidden=(16,), num_samples=2,
+        num_total=100,
+    )
+
+
+@pytest.fixture(scope="module")
+def server(spec, tmp_path_factory):
+    state, _ = _trained_state(spec)
+    path = tmp_path_factory.mktemp("bundle")
+    serve.save_bundle(path, state, spec)
+    return serve.load_bundle(path, buckets=(8, 32))
+
+
+def test_bundle_roundtrip_no_flags(server, spec):
+    # The server reconstructed purely from disk matches the spec.
+    assert server.spec == spec
+    x = make_pinwheel_data(num_per_class=5, seed=1)
+    out = server.encode(x)
+    assert out["z_mean"].shape == (25, spec.latent_dim)
+    assert out["responsibilities"].shape == (25, spec.num_components)
+    np.testing.assert_allclose(out["responsibilities"].sum(-1), 1.0, rtol=1e-5)
+
+
+def test_padding_is_invisible(server):
+    """A request of odd size must equal the same rows inside a full bucket."""
+    x = make_pinwheel_data(num_per_class=8, seed=2)  # 40 rows > bucket 32
+    full = server.encode(x)
+    small = server.encode(x[:5])  # padded 5 → 8
+    np.testing.assert_allclose(small["z_mean"], full["z_mean"][:5], rtol=1e-5)
+    np.testing.assert_array_equal(small["component"], full["component"][:5])
+
+
+def test_score_and_reconstruct(server):
+    x = make_pinwheel_data(num_per_class=3, seed=3)
+    s = server.score(x, num_samples=20)
+    assert s.shape == (15,) and np.all(np.isfinite(s))
+    r = server.reconstruct(x)
+    assert r.shape == x.shape and np.all(np.isfinite(r))
+
+
+def test_generate(server):
+    x, z, labels = server.generate(12, key=jax.random.PRNGKey(4))
+    assert x.shape == (12, 2) and z.shape == (12, 2) and labels.shape == (12,)
+    assert labels.min() >= 0 and labels.max() < server.spec.num_components
+
+
+def test_missing_state_raises(tmp_path, spec):
+    import dataclasses
+    import json
+
+    path = tmp_path / "empty"
+    path.mkdir()
+    payload = dataclasses.asdict(spec)
+    payload["encoder_hidden"] = list(spec.encoder_hidden)
+    payload["decoder_hidden"] = list(spec.decoder_hidden)
+    (path / "spec.json").write_text(json.dumps(payload))
+    with pytest.raises(FileNotFoundError):
+        serve.load_bundle(path)
+
+
+def test_smm_server(tmp_path):
+    spec = serve.ModelSpec(
+        input_dim=2, latent_dim=2, num_components=3, likelihood="gaussian",
+        encoder_hidden=(8,), decoder_hidden=(8,), dof=4.0, num_total=100,
+    )
+    state, x = _trained_state(spec, steps=10, seed=1)
+    serve.save_bundle(tmp_path / "smm", state, spec)
+    server = serve.load_bundle(tmp_path / "smm", buckets=(16,))
+    out = server.encode(np.asarray(x)[:6])
+    assert np.all(np.isfinite(out["z_mean"]))
+    s = server.score(np.asarray(x)[:6], num_samples=10)
+    assert np.all(np.isfinite(s))
