@@ -85,6 +85,10 @@ CONFIGS: dict[str, dict] = {
         kappa=0.05,
         dp=True,
         scan_chunk=100,  # 115.1 steps/s single-chip measured (bench_chunks.py)
+        # The step is HBM-bound (benchmarks/mfu.py); bf16 decoder compute
+        # halves the dominant streams: 7.41 vs 8.69 ms/step measured, with
+        # trajectory ELBO matching f32 to ~1e-5 relative at this horizon.
+        nn_compute_dtype="bfloat16",
     ),
 }
 

@@ -195,28 +195,29 @@ def bernoulli_loglik_decomposed(
             jnp.dot(h, layer["w"], precision=precision) + layer["b"]
         )
     last = params[-1]
+    # Under bf16 compute, every (n, k)-shaped reduction accumulates f32;
+    # with compute_dtype=None the input dtype (f32 or the f64 oracle) is
+    # preserved untouched.
+    acc = jnp.float32 if compute_dtype is not None else None
     y = jnp.dot(x, last["w"].T, precision=precision)  # (N, Dh)
-    c = jnp.dot(
-        x, last["b"], precision=precision, preferred_element_type=jnp.float32
-    )  # (N,)
+    c = jnp.dot(x, last["b"], precision=precision, preferred_element_type=acc)
     t = (
         jnp.einsum(
-            "...nkh,nh->...nk",
-            h,
-            y,
-            precision=precision,
-            preferred_element_type=jnp.float32,
+            "...nkh,nh->...nk", h, y, precision=precision,
+            preferred_element_type=acc,
         )
         + c[..., :, None]
     )
-    if fused and jax.default_backend() == "tpu":
+    # The Pallas row-sum kernel is f32-only (its layouts and VJP are tuned
+    # for 4-byte tiles); under bf16 compute the XLA path below is used.
+    if fused and compute_dtype is None and jax.default_backend() == "tpu":
         from svax.ops import decoder_pallas
 
         return t + decoder_pallas.rowsum_logsig_neg(
             h, last["w"], last["b"], precision=precision
         )
     o = jnp.dot(h, last["w"], precision=precision) + last["b"]
-    rowsum = jnp.sum(jax.nn.log_sigmoid(-o), axis=-1, dtype=jnp.float32)
+    rowsum = jnp.sum(jax.nn.log_sigmoid(-o), axis=-1, dtype=acc)
     ll = t + rowsum
     return ll if out_dtype is None else ll.astype(out_dtype)
 
