@@ -119,6 +119,49 @@ def run_svae(name, dataset, args, results, k=10, d=2, s=4, hidden=(50, 50),
     }
 
 
+def run_serve(args, results):
+    """Serving round-trip: train briefly, bundle, reload, hit endpoints."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from svax import serve
+    from svax.data import make_pinwheel_data
+    from svax.train import svae_step
+
+    spec = serve.ModelSpec(
+        input_dim=2, latent_dim=2, num_components=10, likelihood="gaussian",
+        encoder_hidden=(50, 50), decoder_hidden=(50, 50), num_samples=4,
+        num_total=400,
+    )
+    x = jnp.asarray(make_pinwheel_data(num_per_class=80, seed=0), jnp.float32)
+    config = spec.to_config()._replace(num_total=x.shape[0])
+    prior = spec.make_prior()
+    opt = optax.adam(1e-3)
+    key = jax.random.PRNGKey(0)
+    state = svae_step.init_state(
+        key, 2, config, prior, opt, spec.encoder_hidden, spec.decoder_hidden,
+        data=x,
+    )
+    step = jax.jit(svae_step.make_train_step(config, prior, opt, rho=0.1))
+    for i in range(20 if args.quick else 200):
+        state, _ = step(state, x, jax.random.fold_in(key, i))
+    with tempfile.TemporaryDirectory() as tmp:
+        serve.save_bundle(tmp, state, spec)
+        server = serve.load_bundle(tmp, buckets=(64, 512))
+        enc = server.encode(np.asarray(x)[:100])
+        score = server.score(np.asarray(x)[:100], num_samples=20)
+    results["serving"] = {
+        "bundle_roundtrip": True,
+        "components_used": int(np.unique(enc["component"]).size),
+        "mean_iw_loglik": round(float(score.mean()), 3),
+        "finite": bool(np.isfinite(score).all()),
+    }
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--quick", action="store_true", help="smoke-scale steps")
@@ -141,6 +184,7 @@ def main() -> None:
     run_svae("bigk-dp", "mnist", args, results, k=100, d=10, s=1,
              hidden=(200, 200), batch=512, steps_full=1000, rho=0.1, dp=True)
     run_svae("pinwheel-svae-smm", "pinwheel", args, results, dof=4.0)
+    run_serve(args, results)
 
     for name, row in results.items():
         if isinstance(row, dict):
