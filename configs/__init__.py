@@ -15,7 +15,11 @@ CONFIGS: dict[str, dict] = {
         num_samples=4,
         encoder_hidden=[50, 50],
         decoder_hidden=[50, 50],
-        steps=5000,
+        # 5000 steps left the model visibly under-trained (test ELBO
+        # −8.15/pt, IW −6.01); at 15000 it reaches −6.75/pt, IW −5.38 —
+        # past the pure GMM's data-space predictive (−5.41), as the
+        # structured prior should be. ~7 s wall on one v5e.
+        steps=15000,
         batch_size=0,
         lr=1e-3,
         rho=0.05,
@@ -67,6 +71,9 @@ CONFIGS: dict[str, dict] = {
         alpha=1.0,
         kappa=0.05,
         scan_chunk=200,  # 2337 steps/s measured (bench_chunks.py)
+        # +19% measured (0.395 vs 0.470 ms/step, benchmarks/mfu.py); the
+        # trajectory at the measured horizon matched f32 within noise.
+        nn_compute_dtype="bfloat16",
     ),
     # BASELINE config #5 — large-K high-dim latent with DP psum over ICI
     "bigk-dp": dict(

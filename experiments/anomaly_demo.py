@@ -39,6 +39,12 @@ def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--steps", type=int, default=3000)
     p.add_argument("--outlier-fraction", type=float, default=0.15)
+    p.add_argument("--outlier-scale", type=float, default=15.0,
+                   help="half-width of the uniform outlier box. NOTE the "
+                        "pinwheel itself spans ~±17, so the default box "
+                        "overlaps the support heavily (AUC is capped well "
+                        "below 1 by construction); pass 30+ for a "
+                        "separated-outlier regime.")
     p.add_argument("--dof", type=float, default=4.0,
                    help="also evaluate an SMM-prior model (0 = GMM only)")
     p.add_argument("--num-components", "-K", type=int, default=10)
@@ -67,12 +73,13 @@ def main() -> None:
     # Held-out set WITH outliers; labels < 0 mark the injected contamination.
     test_np, test_labels = make_pinwheel_with_outliers(
         outlier_fraction=args.outlier_fraction, num_per_class=60,
-        seed=args.seed + 13,
+        outlier_scale=args.outlier_scale, seed=args.seed + 13,
     )
     is_out = np.asarray(test_labels) < 0
     n = x_train.shape[0]
 
     results = {"outlier_fraction": args.outlier_fraction,
+               "outlier_scale": args.outlier_scale,
                "n_test": int(len(test_np)), "n_outliers": int(is_out.sum())}
     variants = [("gmm", 0.0)] + ([("smm", args.dof)] if args.dof > 0 else [])
     for name, dof in variants:

@@ -40,8 +40,9 @@ def test_apply_config_cli_override():
     assert args.lr == 1e-3  # untyped flag takes the config value
 
     # Explicitly passing a value EQUAL to the parser default must still win
-    # (ADVICE round 1: value-comparison clobbered it). pinwheel-svae sets
-    # steps=5000; the user's explicit --steps 2000 (== parser default) stays.
+    # (ADVICE round 1: value-comparison clobbered it). pinwheel-svae sets a
+    # different steps; the user's explicit --steps 2000 (== parser default)
+    # stays.
     argv = ["--steps", "2000"]
     args = p.parse_args(argv)
     apply_config(args, p, argv=argv)
