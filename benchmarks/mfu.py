@@ -46,7 +46,7 @@ def analyze(name: str, k: int, d: int, s: int, hidden, batch: int,
             input_dim: int = 784, likelihood: str = "bernoulli",
             chunk: int = 20, n_chunks: int = 4, remat: bool = False,
             precision: str = "high", fused_decoder: bool = False,
-            compute_dtype: str = "float32"):
+            compute_dtype: str = "float32", recon_mode: str = "weighted"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -64,6 +64,7 @@ def analyze(name: str, k: int, d: int, s: int, hidden, batch: int,
         latent_dim=d, num_components=k, num_samples=s, likelihood=likelihood,
         num_total=batch, nn_precision=prec, remat_combine=remat,
         fused_decoder=fused_decoder, nn_compute_dtype=compute_dtype,
+        recon_mode=recon_mode,
     )
     rng = np.random.default_rng(0)
     x = jnp.asarray(
@@ -127,6 +128,7 @@ def analyze(name: str, k: int, d: int, s: int, hidden, batch: int,
         "fused_decoder": fused_decoder,
         "precision": precision,
         "compute_dtype": compute_dtype,
+        "recon_mode": recon_mode,
         "elbo_finite": bool(jnp.isfinite(m["elbo"][-1])),
         "final_elbo": float(m["elbo"][-1]),
     }

@@ -72,6 +72,12 @@ def main() -> None:
                    help="decoder-body compute dtype: bfloat16 halves the "
                         "dominant HBM streams of memory-bound big-K steps "
                         "(f32 accumulation of every (n,k) reduction)")
+    p.add_argument("--recon-mode", choices=["weighted", "sampled"],
+                   default="weighted",
+                   help="recon estimator: 'weighted' decodes all K "
+                        "components (reference-exact); 'sampled' decodes "
+                        "one k~Cat(r) per sample — unbiased (REINFORCE-"
+                        "corrected), K x less decoder work at large K")
     p.add_argument("--smm-dof", type=float, default=0.0,
                    help="Student-t mixture latent prior with this many "
                         "degrees of freedom (0 = Gaussian mixture prior)")
@@ -130,6 +136,7 @@ def main() -> None:
         dof=args.smm_dof,
         smm_iters=args.smm_iters,
         nn_compute_dtype=args.nn_compute_dtype,
+        recon_mode=args.recon_mode,
     )
     model = svae_mod_select(args.smm_dof)
     prior = gmm.make_prior(

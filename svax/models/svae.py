@@ -73,6 +73,16 @@ class SvaeConfig(NamedTuple):
     # bound big-K step (benchmarks/mfu.py). "float32" keeps the parity
     # path exact; the PGM/conjugate path is unaffected either way.
     nn_compute_dtype: str = "float32"
+    # Reconstruction estimator. "weighted" (default, reference-matching):
+    # decode S samples for EVERY component, Σ_k r̃·E[log p(x|z_k)] — exact
+    # in k, S·N·K decoder rows. "sampled": draw k̂ ~ Cat(r̃) per (s, n) and
+    # decode only that component's sample — an UNBIASED estimator of the
+    # same recon term using S·N rows (K× less decoder traffic; the big-K
+    # step is decoder-bound). The r̃-gradient is recovered by a REINFORCE
+    # term with a per-point baseline (mean over S when S > 1), so encoder
+    # gradients stay unbiased too (tested). Closed-form local/global KLs
+    # and the CVI statistics are untouched — still exact over all K.
+    recon_mode: str = "weighted"
 
     @property
     def decoder_compute_dtype(self):
@@ -165,6 +175,64 @@ def sample_posterior(
     return z
 
 
+def _recon_sampled(
+    dec_params: list,
+    post: SinPosterior,
+    x: jnp.ndarray,
+    key: jax.Array,
+    config: SvaeConfig,
+) -> jnp.ndarray:
+    """Sampled-component recon estimator: per-point (N,) values.
+
+    Unbiased for Σ_k r̃_nk E_{q(z|n,k)}[log p(x|z)]: k̂_sn ~ Cat(r̃_n) by
+    Gumbel-max (sampling is gradient-stopped), z ~ q(z|n,k̂) by the usual
+    L̃⁻ᵀε reparameterization — so the decoder sees S·N rows instead of
+    S·N·K. The ∂r̃/∂φ pathway the sampling discards is restored by the
+    score-function (REINFORCE) surrogate ``sg(ll − b)·(log r̃_k̂ −
+    sg(log r̃_k̂))``, which adds 0 to the value and the missing
+    E[ll·∇log r̃] to the gradient; the baseline b is the per-point mean
+    over the S samples (S > 1) — gradient-valid since E[∇log r̃] = 0.
+    """
+    s = config.num_samples
+    n, k, d = post.mean.shape
+    k_cat, k_norm = jax.random.split(key)
+    log_resp_sg = jax.lax.stop_gradient(post.log_resp)
+    gumbel = jax.random.gumbel(k_cat, (s, n, k), dtype=post.mean.dtype)
+    khat = jnp.argmax(log_resp_sg[None] + gumbel, axis=-1)  # (S, N)
+
+    sel = khat[..., None, None]  # (S, N, 1, 1)
+    mean_sel = jnp.take_along_axis(
+        jnp.broadcast_to(post.mean[None], (s, n, k, d)), sel, axis=2
+    )[:, :, 0, :]  # (S, N, d)
+    chol_sel = jnp.take_along_axis(
+        jnp.broadcast_to(post.prec_chol[None], (s, n, k, d, d)),
+        sel[..., None], axis=2,
+    )[:, :, 0, :, :]  # (S, N, d, d)
+    eps = jax.random.normal(k_norm, (s, n, d), dtype=post.mean.dtype)
+    z = mean_sel + bl.solve_triu_vec(chol_sel, eps)  # (S, N, d)
+
+    ll = nets.log_likelihood(
+        dec_params, z, x[None], config.likelihood, config.activation,
+        config.nn_precision, compute_dtype=config.decoder_compute_dtype,
+    )  # (S, N)
+    logr_sel = jnp.take_along_axis(
+        jnp.broadcast_to(post.log_resp[None], (s, n, k)),
+        khat[..., None], axis=-1,
+    )[..., 0]  # (S, N) — selected log r̃ WITH gradient
+    if s > 1:
+        # Leave-one-out baseline: a self-inclusive mean correlates with the
+        # sample's own ll and biases E[sg(ll−b)·∇log r̃]; LOO is exact.
+        baseline = (jnp.sum(ll, axis=0, keepdims=True) - ll) / (s - 1)
+    else:
+        # Batch-mean baseline: other points' ll are independent of this
+        # point's k̂, so E[b·∇log r̃] = b̄·E[∇log r̃] = 0 — still unbiased.
+        baseline = jnp.mean(ll)
+    reinforce = jax.lax.stop_gradient(ll - baseline) * (
+        logr_sel - jax.lax.stop_gradient(logr_sel)
+    )
+    return jnp.mean(ll + reinforce, axis=0)  # (N,)
+
+
 def local_kl_term(post: SinPosterior, exp: GmmExpected) -> jnp.ndarray:
     """−Σ_k r̃ E_q[log p̄(z,k) − log q(z,k|x)] per datapoint, closed form (§9.6).
 
@@ -213,6 +281,12 @@ def forward(
     """
     n = x.shape[0]
     scale = config.num_total / n
+    if config.recon_mode == "sampled":
+        assert axis_comp is None, (
+            "recon_mode='sampled' needs the full responsibility row; it does "
+            "not compose with component parallelism — use 'weighted'."
+        )
+        assert eps is None, "eps injection is a weighted-mode parity hook"
 
     exp = gmm.expected_params(pgm_nat, axis_comp=axis_comp)
     pot_h, pot_p = nets.encoder_apply(
@@ -231,27 +305,34 @@ def forward(
         post = sin_combine(pot_h, pot_p, exp, jitter=config.jitter, axis_comp=axis_comp)
     resp = jnp.exp(post.log_resp)
 
-    # Reconstruction: S samples per (n, k), decoder batched over S·N·K.
-    z = sample_posterior(key, post, config.num_samples, eps=eps)  # (S, N, K, d)
-    if config.likelihood == "bernoulli":
-        # x-free big-logits formulation — measurably faster (nets docstring).
-        loglik = nets.bernoulli_loglik_decomposed(
-            nn_params["decoder"], z, x, config.activation, config.nn_precision,
-            fused=config.fused_decoder,
-            compute_dtype=config.decoder_compute_dtype,
+    if config.recon_mode == "sampled":
+        recon = scale * jnp.sum(
+            _recon_sampled(nn_params["decoder"], post, x, key, config)
         )
     else:
-        loglik = nets.log_likelihood(
-            nn_params["decoder"],
-            z,
-            x[None, :, None, :],
-            config.likelihood,
-            config.activation,
-            config.nn_precision,
-            compute_dtype=config.decoder_compute_dtype,
-        )  # (S, N, K)
-    recon_nk = jnp.mean(loglik, axis=0)  # (N, K)
-    recon = scale * jnp.sum(resp * recon_nk)
+        # Reconstruction: S samples per (n, k), decoder batched over S·N·K.
+        z = sample_posterior(key, post, config.num_samples, eps=eps)  # (S,N,K,d)
+        if config.likelihood == "bernoulli":
+            # x-free big-logits formulation — measurably faster (nets
+            # docstring).
+            loglik = nets.bernoulli_loglik_decomposed(
+                nn_params["decoder"], z, x, config.activation,
+                config.nn_precision,
+                fused=config.fused_decoder,
+                compute_dtype=config.decoder_compute_dtype,
+            )
+        else:
+            loglik = nets.log_likelihood(
+                nn_params["decoder"],
+                z,
+                x[None, :, None, :],
+                config.likelihood,
+                config.activation,
+                config.nn_precision,
+                compute_dtype=config.decoder_compute_dtype,
+            )  # (S, N, K)
+        recon_nk = jnp.mean(loglik, axis=0)  # (N, K)
+        recon = scale * jnp.sum(resp * recon_nk)
 
     local = scale * jnp.sum(local_kl_term(post, exp))
     if axis_comp is not None:

@@ -206,6 +206,9 @@ def forward(
     the Σ_k reductions ride the axis.
     """
     assert config.dof > 0.0, "config.dof must be set (> 0) for the SMM prior"
+    assert config.recon_mode == "weighted", (
+        "the SMM-prior SVAE implements the weighted recon estimator only"
+    )
     from svax.models import svae as svae_mod
 
     n = x.shape[0]
