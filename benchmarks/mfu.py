@@ -46,7 +46,8 @@ def analyze(name: str, k: int, d: int, s: int, hidden, batch: int,
             input_dim: int = 784, likelihood: str = "bernoulli",
             chunk: int = 20, n_chunks: int = 4, remat: bool = False,
             precision: str = "high", fused_decoder: bool = False,
-            compute_dtype: str = "float32", recon_mode: str = "weighted"):
+            compute_dtype: str = "float32", recon_mode: str = "weighted",
+            fused_combine: bool = False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -64,7 +65,7 @@ def analyze(name: str, k: int, d: int, s: int, hidden, batch: int,
         latent_dim=d, num_components=k, num_samples=s, likelihood=likelihood,
         num_total=batch, nn_precision=prec, remat_combine=remat,
         fused_decoder=fused_decoder, nn_compute_dtype=compute_dtype,
-        recon_mode=recon_mode,
+        recon_mode=recon_mode, fused_combine=fused_combine,
     )
     rng = np.random.default_rng(0)
     x = jnp.asarray(
@@ -129,6 +130,7 @@ def analyze(name: str, k: int, d: int, s: int, hidden, batch: int,
         "precision": precision,
         "compute_dtype": compute_dtype,
         "recon_mode": recon_mode,
+        "fused_combine": fused_combine,
         "elbo_finite": bool(jnp.isfinite(m["elbo"][-1])),
         "final_elbo": float(m["elbo"][-1]),
     }
@@ -143,6 +145,9 @@ def main() -> None:
     p.add_argument("--fused-decoder", action="store_true")
     p.add_argument("--precision", choices=["highest", "high", "default"],
                    default="high")
+    p.add_argument("--fused-combine", action="store_true",
+                   help="route the SIN combine through the fused Pallas "
+                        "kernel (svax.ops.combine_pallas)")
     p.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
                    default="float32",
                    help="decoder-body compute dtype (bfloat16 halves the "
@@ -155,12 +160,14 @@ def main() -> None:
         analyze("bigk-single-chip", k=100, d=10, s=1, hidden=(200, 200),
                 batch=1024, remat=args.remat, precision=args.precision,
                 fused_decoder=args.fused_decoder,
-                compute_dtype=args.compute_dtype)
+                compute_dtype=args.compute_dtype,
+                fused_combine=args.fused_combine)
     if args.config in ("mnist", "both"):
         analyze("mnist-svae", k=10, d=8, s=1, hidden=(200, 200), batch=256,
                 remat=args.remat, precision=args.precision,
                 fused_decoder=args.fused_decoder,
-                compute_dtype=args.compute_dtype)
+                compute_dtype=args.compute_dtype,
+                fused_combine=args.fused_combine)
 
 
 if __name__ == "__main__":

@@ -74,6 +74,9 @@ CONFIGS: dict[str, dict] = {
         # +19% measured (0.395 vs 0.470 ms/step, benchmarks/mfu.py); the
         # trajectory at the measured horizon matched f32 within noise.
         nn_compute_dtype="bfloat16",
+        # Fused SIN-combine Pallas kernel: 0.305 vs 0.395 ms/step measured
+        # (3274 steps/s) on top of the bf16 decoder.
+        fused_combine=True,
     ),
     # BASELINE config #5 — large-K high-dim latent with DP psum over ICI
     "bigk-dp": dict(
@@ -96,6 +99,11 @@ CONFIGS: dict[str, dict] = {
         # halves the dominant streams: 7.41 vs 8.69 ms/step measured, with
         # trajectory ELBO matching f32 to ~1e-5 relative at this horizon.
         nn_compute_dtype="bfloat16",
+        # Fused SIN-combine Pallas kernel (svax/ops/combine_pallas.py):
+        # 3.26 vs 7.41 ms/step measured at chunk 100 — the combine chain
+        # (5.7 ms in XLA) collapses to 1.3 ms with every N·K·d·d
+        # intermediate VMEM-resident. 307 steps/s single-chip.
+        fused_combine=True,
     ),
 }
 

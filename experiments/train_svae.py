@@ -72,6 +72,10 @@ def main() -> None:
                    help="decoder-body compute dtype: bfloat16 halves the "
                         "dominant HBM streams of memory-bound big-K steps "
                         "(f32 accumulation of every (n,k) reduction)")
+    p.add_argument("--fused-combine", action="store_true",
+                   help="route the SIN combine + local KL + sampling + "
+                        "sufficient statistics through the fused Pallas "
+                        "kernel (TPU only; big-K bandwidth win)")
     p.add_argument("--recon-mode", choices=["weighted", "sampled"],
                    default="weighted",
                    help="recon estimator: 'weighted' decodes all K "
@@ -137,6 +141,7 @@ def main() -> None:
         smm_iters=args.smm_iters,
         nn_compute_dtype=args.nn_compute_dtype,
         recon_mode=args.recon_mode,
+        fused_combine=args.fused_combine,
     )
     model = svae_mod_select(args.smm_dof)
     prior = gmm.make_prior(

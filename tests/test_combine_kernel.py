@@ -1,0 +1,160 @@
+"""Fused SIN-combine Pallas kernel vs the sin_combine oracle.
+
+Runs the ACTUAL kernel bodies (forward and the recompute backward) through
+the Pallas interpreter on CPU — values AND gradients against the
+independent svae.sin_combine / local_kl_term / suff_stats path, including
+padding edges (N not a tile multiple, K not a sublane multiple).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from svax.models import svae
+from svax.ops import batched_linalg as bl
+from svax.ops import combine_pallas as cp
+from svax.pgm import gmm
+
+
+def _inputs(n, k, d, s, seed=0):
+    rng = np.random.default_rng(seed)
+    pot_h = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    pot_p = jnp.asarray((0.3 + rng.random((n, d))).astype(np.float32))
+    prior = gmm.make_prior(k, d)
+    nat = jax.tree.map(
+        lambda a: a.astype(jnp.float32),
+        gmm.init_variational(jax.random.PRNGKey(seed), prior),
+    )
+    exp = gmm.expected_params(nat)
+    eps = jnp.asarray(rng.standard_normal((s, n, k, d)).astype(np.float32))
+    return pot_h, pot_p, exp, eps
+
+
+def _oracle(pot_h, pot_p, exp, eps, scale=1.0):
+    post = svae.sin_combine(pot_h, pot_p, exp)
+    resp = jnp.exp(post.log_resp)
+    s = eps.shape[0]
+    z = post.mean[None] + bl.solve_triu_vec(
+        jnp.broadcast_to(post.prec_chol, (s,) + post.prec_chol.shape), eps
+    )
+    local = svae.local_kl_term(post, exp)
+    ezz = post.cov + post.mean[..., :, None] * post.mean[..., None, :]
+    stats = gmm.suff_stats_from_moments(resp, post.mean, ezz, scale=scale)
+    return z, post.log_resp, local, stats
+
+
+@pytest.mark.parametrize(
+    "n,k,d,s", [(40, 5, 2, 2), (130, 10, 3, 1), (64, 7, 4, 3)]
+)
+def test_fused_combine_matches_oracle(n, k, d, s):
+    pot_h, pot_p, exp, eps = _inputs(n, k, d, s)
+    z_o, lr_o, local_o, st_o = _oracle(pot_h, pot_p, exp, eps, scale=2.5)
+    z_f, lr_f, mean_f, local_f, st_f = cp.combine_fused(
+        pot_h, pot_p, exp, eps, s, scale=2.5, tile=128, interpret=True
+    )
+    post = svae.sin_combine(pot_h, pot_p, exp)
+    np.testing.assert_allclose(np.asarray(mean_f), np.asarray(post.mean),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(z_f), np.asarray(z_o),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(lr_f), np.asarray(lr_o),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(local_f), np.asarray(local_o),
+                               rtol=2e-4, atol=2e-4)
+    for a, b in zip(jax.tree.leaves(st_f), jax.tree.leaves(st_o)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def _scalar_through(fused: bool, pot_h, pot_p, exp, eps, s):
+    """A scalar functional touching every output (mimics the ELBO use)."""
+    if fused:
+        z, lr, mean, local, st = cp.combine_fused(
+            pot_h, pot_p, exp, eps, s, tile=128, interpret=True
+        )
+    else:
+        z, lr, local, st = _oracle(pot_h, pot_p, exp, eps)
+    resp = jnp.exp(lr)
+    recon_proxy = jnp.sum(resp * jnp.sum(jnp.tanh(z), axis=(0, -1)))
+    return recon_proxy - jnp.sum(local) + 0.01 * jnp.sum(st.scatter_stat)
+
+
+@pytest.mark.parametrize("wrt", ["pot", "exp"])
+def test_fused_combine_gradients_match(wrt):
+    n, k, d, s = 48, 5, 3, 2
+    pot_h, pot_p, exp, eps = _inputs(n, k, d, s, seed=3)
+
+    if wrt == "pot":
+        def f(fused):
+            return jax.grad(
+                lambda ph, pp: _scalar_through(fused, ph, pp, exp, eps, s),
+                argnums=(0, 1),
+            )(pot_h, pot_p)
+    else:
+        def f(fused):
+            return jax.grad(
+                lambda e: _scalar_through(fused, pot_h, pot_p, e, eps, s)
+            )(exp)
+
+    g_f, g_o = f(True), f(False)
+    for a, b in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_o)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
+
+
+def test_fused_combine_forward_jits_and_composes():
+    n, k, d, s = 32, 4, 2, 1
+    pot_h, pot_p, exp, eps = _inputs(n, k, d, s, seed=7)
+    fn = jax.jit(functools.partial(
+        cp.combine_fused, num_samples=s, tile=128, interpret=True))
+    z, lr, mean, local, st = fn(pot_h, pot_p, exp, eps)
+    assert bool(jnp.all(jnp.isfinite(z)))
+    np.testing.assert_allclose(np.asarray(jnp.exp(lr)).sum(-1), 1.0,
+                               rtol=1e-5)
+
+
+def test_forward_integration_fused_combine(monkeypatch):
+    """svae.forward(fused_combine=True) == the XLA path at matched noise,
+    with the real kernel bodies executing (interpret hook)."""
+    from svax.models.svae import SvaeConfig
+
+    monkeypatch.setattr(svae, "_COMBINE_INTERPRET", True)
+    n, k, d, s, d_in = 40, 5, 2, 2, 2
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((n, d_in)).astype(np.float32))
+    config = SvaeConfig(latent_dim=d, num_components=k, num_samples=s,
+                        num_total=n)
+    key = jax.random.PRNGKey(0)
+    prior = gmm.make_prior(k, d)
+    f32 = lambda t: jax.tree.map(lambda p: p.astype(jnp.float32), t)  # noqa: E731
+    nn = f32(svae.init_params(key, d_in, config, (16,), (16,)))
+    nat = f32(gmm.init_variational(key, prior))
+    prior = f32(prior)
+    eps = jnp.asarray(rng.standard_normal((s, n, k, d)).astype(np.float32))
+
+    out_x = svae.forward(nn, nat, prior, x, key, config, eps=eps)
+    out_f = svae.forward(
+        nn, nat, prior, x, key, config._replace(fused_combine=True), eps=eps
+    )
+    np.testing.assert_allclose(float(out_f.elbo), float(out_x.elbo),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_f.suff_stats.scatter_stat),
+                               np.asarray(out_x.suff_stats.scatter_stat),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_f.posterior.mean),
+                               np.asarray(out_x.posterior.mean),
+                               rtol=1e-5, atol=1e-5)
+
+    # Gradients through the full forward agree too.
+    def loss(nn_params, fused):
+        cfg = config._replace(fused_combine=fused)
+        return -svae.forward(nn_params, nat, prior, x, key, cfg, eps=eps).elbo
+
+    g_f = jax.grad(lambda p: loss(p, True))(nn)
+    g_x = jax.grad(lambda p: loss(p, False))(nn)
+    for a, b in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
