@@ -8,10 +8,18 @@ with latent dimension d in the 2–20 range. ``lax.linalg`` routines loop over
 ``d`` so every intermediate is one fused elementwise op over the full N×K
 batch — pure VPU work XLA fuses into neighbouring ops. ``estep_pallas``
 provides fused Pallas kernels for the GMM E-step with in-kernel reduction of
-weighted sufficient statistics.
+weighted sufficient statistics, and ``combine_pallas`` fuses the entire SVAE
+SIN combine (chol → μ̃ → softmax → Σ̃ → local KL → sampling → statistics)
+into one forward kernel plus two recompute-backward kernels — the big-K
+hot path (2.3× the full train step, BASELINE.md).
 """
 
-from svax.ops import batched_linalg, decoder_pallas, estep_pallas  # noqa: F401
+from svax.ops import (  # noqa: F401
+    batched_linalg,
+    combine_pallas,
+    decoder_pallas,
+    estep_pallas,
+)
 from svax.ops.batched_linalg import (  # noqa: F401
     add_jitter,
     cho_solve_mat,
