@@ -104,6 +104,9 @@ CONFIGS: dict[str, dict] = {
         # (5.7 ms in XLA) collapses to 1.3 ms with every N·K·d·d
         # intermediate VMEM-resident. 307 steps/s single-chip.
         fused_combine=True,
+        # Decoder remat on top: ~2.93 vs ~3.11 ms back-to-back (~6%; the
+        # bf16 recompute is ~free, the residual streams are not).
+        remat_decoder=True,
     ),
 }
 

@@ -72,6 +72,11 @@ def main() -> None:
                    help="decoder-body compute dtype: bfloat16 halves the "
                         "dominant HBM streams of memory-bound big-K steps "
                         "(f32 accumulation of every (n,k) reduction)")
+    p.add_argument("--remat-decoder", action="store_true",
+                   help="recompute the decoder in the backward pass "
+                        "instead of storing its activations (wins when "
+                        "the S*N*K residual streams outweigh the bf16 "
+                        "recompute FLOPs)")
     p.add_argument("--fused-combine", action="store_true",
                    help="route the SIN combine + local KL + sampling + "
                         "sufficient statistics through the fused Pallas "
@@ -142,6 +147,7 @@ def main() -> None:
         nn_compute_dtype=args.nn_compute_dtype,
         recon_mode=args.recon_mode,
         fused_combine=args.fused_combine,
+        remat_decoder=args.remat_decoder,
     )
     model = svae_mod_select(args.smm_dof)
     prior = gmm.make_prior(

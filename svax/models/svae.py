@@ -78,6 +78,13 @@ class SvaeConfig(NamedTuple):
     # bound big-K step (benchmarks/mfu.py). "float32" keeps the parity
     # path exact; the PGM/conjugate path is unaffected either way.
     nn_compute_dtype: str = "float32"
+    # Rematerialize the decoder in the backward pass: drops the
+    # (S·N·K, hidden) activation residuals from HBM and recomputes the
+    # bf16 matmuls instead. Back-to-back on the big-K step: 2.88–2.98 vs
+    # 3.05–3.17 ms (~6% win; the recompute is ~free at 1-pass bf16) —
+    # pinned for bigk-dp. Negative at the mnist shape (0.357 vs 0.322:
+    # the small residual set is cheaper than the recompute there).
+    remat_decoder: bool = False
     # Route the SIN combine + local KL + sampling + sufficient statistics
     # through the fused Pallas kernel (svax.ops.combine_pallas): the
     # N·K·d·d Cholesky/inverse/ezz intermediates never touch HBM in either
@@ -186,6 +193,13 @@ def sample_posterior(
         jnp.broadcast_to(post.prec_chol, (num_samples,) + post.prec_chol.shape), eps
     )
     return z
+
+
+def _weighted_loglik_fn(config: SvaeConfig):
+    """The decoder log-likelihood callable, optionally remat-wrapped."""
+    if config.remat_decoder:
+        return jax.checkpoint(_weighted_loglik, static_argnums=(3,))
+    return _weighted_loglik
 
 
 def _weighted_loglik(dec_params, z, x, config: SvaeConfig) -> jnp.ndarray:
@@ -349,7 +363,7 @@ def forward(
             interpret=_COMBINE_INTERPRET,
         )
         resp = jnp.exp(log_resp)
-        loglik = _weighted_loglik(nn_params["decoder"], z, x, config)
+        loglik = _weighted_loglik_fn(config)(nn_params["decoder"], z, x, config)
         recon = scale * jnp.sum(resp * jnp.mean(loglik, axis=0))
         local = scale * jnp.sum(local_n)
         global_kl = gmm.kl_global(pgm_nat, prior_nat)
@@ -387,7 +401,7 @@ def forward(
     else:
         # Reconstruction: S samples per (n, k), decoder batched over S·N·K.
         z = sample_posterior(key, post, config.num_samples, eps=eps)  # (S,N,K,d)
-        loglik = _weighted_loglik(nn_params["decoder"], z, x, config)
+        loglik = _weighted_loglik_fn(config)(nn_params["decoder"], z, x, config)
         recon_nk = jnp.mean(loglik, axis=0)  # (N, K)
         recon = scale * jnp.sum(resp * recon_nk)
 
