@@ -158,3 +158,42 @@ def test_forward_integration_fused_combine(monkeypatch):
     for a, b in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_x)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_fused_combine_inside_shard_map(monkeypatch):
+    """The kernel runs under shard_map (DP): the closed-form CVI update
+    must equal the single-device fused step exactly (sufficient statistics
+    are mesh-invariant; only the MC recon noise differs per shard)."""
+    import optax
+
+    from svax.models.svae import SvaeConfig
+    from svax.parallel import mesh as pmesh
+    from svax.train import svae_step
+    from svax.data import make_pinwheel_data
+
+    monkeypatch.setattr(svae, "_COMBINE_INTERPRET", True)
+    n, k, d = 64, 4, 2
+    config = SvaeConfig(latent_dim=d, num_components=k, num_samples=1,
+                        num_total=n, fused_combine=True)
+    prior = gmm.make_prior(k, d)
+    opt = optax.adam(1e-3)
+    key = jax.random.PRNGKey(0)
+    x = jnp.asarray(
+        make_pinwheel_data(num_classes=4, num_per_class=16, seed=0)[:n],
+        jnp.float32,
+    )
+    state = svae_step.init_state(key, 2, config, prior, opt, (8,), (8,),
+                                 data=x)
+    m = pmesh.make_data_mesh()
+    dp = pmesh.data_parallel_step(
+        svae_step.make_train_step(config, prior, opt, rho=0.1,
+                                  axis_name="data"), m)
+    state_dp, metrics_dp = dp(state, pmesh.shard_batch(m, x), key)
+    state_1, _ = jax.jit(
+        svae_step.make_train_step(config, prior, opt, rho=0.1)
+    )(state, x, key)
+    assert np.isfinite(float(metrics_dp["elbo"]))
+    for a, b in zip(jax.tree.leaves(state_dp.pgm_nat),
+                    jax.tree.leaves(state_1.pgm_nat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
