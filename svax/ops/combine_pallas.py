@@ -13,9 +13,10 @@ between fusion groups. This kernel runs the WHOLE per-(n, k) pipeline —
 downstream actually consumes leaves the kernel: z samples, log r̃, the
 per-point local-KL row, and the (K, F) statistics block (accumulated
 across the grid, estep_pallas-style). The N·K·d·d Cholesky/inverse never
-touch HBM in either direction: the backward pass is a SECOND kernel that
-recomputes the tile forward and applies ``jax.vjp`` of the tile function
-in-register (flash-attention-style rematerialization).
+touch HBM in either direction: the backward pass is a PAIR of recompute
+kernels (split by cotangent linearity — see ``_bwd_call``) that re-run
+the tile forward and apply ``jax.vjp`` of the tile function in VMEM
+(flash-attention-style rematerialization).
 
 Layouts (all 2-D, Mosaic-native):
   * per-(n,k) scalar slots are (K_pad, T) blocks — K on sublanes
