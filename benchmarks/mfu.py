@@ -47,7 +47,7 @@ def analyze(name: str, k: int, d: int, s: int, hidden, batch: int,
             chunk: int = 20, n_chunks: int = 4, remat: bool = False,
             precision: str = "high", fused_decoder: bool = False,
             compute_dtype: str = "float32", recon_mode: str = "weighted",
-            fused_combine: bool = False):
+            fused_combine: bool = False, fused_mlp_decoder: bool = False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -66,6 +66,7 @@ def analyze(name: str, k: int, d: int, s: int, hidden, batch: int,
         num_total=batch, nn_precision=prec, remat_combine=remat,
         fused_decoder=fused_decoder, nn_compute_dtype=compute_dtype,
         recon_mode=recon_mode, fused_combine=fused_combine,
+        fused_mlp_decoder=fused_mlp_decoder,
     )
     rng = np.random.default_rng(0)
     x = jnp.asarray(
@@ -131,6 +132,7 @@ def analyze(name: str, k: int, d: int, s: int, hidden, batch: int,
         "compute_dtype": compute_dtype,
         "recon_mode": recon_mode,
         "fused_combine": fused_combine,
+        "fused_mlp_decoder": fused_mlp_decoder,
         "elbo_finite": bool(jnp.isfinite(m["elbo"][-1])),
         "final_elbo": float(m["elbo"][-1]),
     }
@@ -145,6 +147,7 @@ def main() -> None:
     p.add_argument("--fused-decoder", action="store_true")
     p.add_argument("--precision", choices=["highest", "high", "default"],
                    default="high")
+    p.add_argument("--fused-mlp-decoder", action="store_true")
     p.add_argument("--fused-combine", action="store_true",
                    help="route the SIN combine through the fused Pallas "
                         "kernel (svax.ops.combine_pallas)")
@@ -161,13 +164,15 @@ def main() -> None:
                 batch=1024, remat=args.remat, precision=args.precision,
                 fused_decoder=args.fused_decoder,
                 compute_dtype=args.compute_dtype,
-                fused_combine=args.fused_combine)
+                fused_combine=args.fused_combine,
+                fused_mlp_decoder=args.fused_mlp_decoder)
     if args.config in ("mnist", "both"):
         analyze("mnist-svae", k=10, d=8, s=1, hidden=(200, 200), batch=256,
                 remat=args.remat, precision=args.precision,
                 fused_decoder=args.fused_decoder,
                 compute_dtype=args.compute_dtype,
-                fused_combine=args.fused_combine)
+                fused_combine=args.fused_combine,
+                fused_mlp_decoder=args.fused_mlp_decoder)
 
 
 if __name__ == "__main__":

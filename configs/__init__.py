@@ -104,9 +104,11 @@ CONFIGS: dict[str, dict] = {
         # (5.7 ms in XLA) collapses to 1.3 ms with every N·K·d·d
         # intermediate VMEM-resident. 307 steps/s single-chip.
         fused_combine=True,
-        # Decoder remat on top: ~2.93 vs ~3.11 ms back-to-back (~6%; the
-        # bf16 recompute is ~free, the residual streams are not).
-        remat_decoder=True,
+        # Fully-fused MLP-decoder kernel on top: ~2.77 vs ~2.95 ms
+        # back-to-back against the remat path — the step is now two Pallas
+        # kernels (combine + decoder) with no N·K-sized HBM intermediates
+        # anywhere. Supersedes remat_decoder (nothing is stored anyway).
+        fused_mlp_decoder=True,
     ),
 }
 

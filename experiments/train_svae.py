@@ -77,6 +77,9 @@ def main() -> None:
                         "instead of storing its activations (wins when "
                         "the S*N*K residual streams outweigh the bf16 "
                         "recompute FLOPs)")
+    p.add_argument("--fused-mlp-decoder", action="store_true",
+                   help="fully-fused Bernoulli MLP-decoder Pallas "
+                        "kernel (TPU, 2 tanh hidden layers)")
     p.add_argument("--fused-combine", action="store_true",
                    help="route the SIN combine + local KL + sampling + "
                         "sufficient statistics through the fused Pallas "
@@ -148,6 +151,7 @@ def main() -> None:
         recon_mode=args.recon_mode,
         fused_combine=args.fused_combine,
         remat_decoder=args.remat_decoder,
+        fused_mlp_decoder=args.fused_mlp_decoder,
     )
     model = svae_mod_select(args.smm_dof)
     prior = gmm.make_prior(

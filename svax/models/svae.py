@@ -78,6 +78,13 @@ class SvaeConfig(NamedTuple):
     # bound big-K step (benchmarks/mfu.py). "float32" keeps the parity
     # path exact; the PGM/conjugate path is unaffected either way.
     nn_compute_dtype: str = "float32"
+    # Fully-fused Bernoulli MLP-decoder Pallas kernel
+    # (svax.ops.decoder_mlp_pallas): hidden activations and logits never
+    # touch HBM in either direction (recompute backward). Requires a
+    # 2-hidden-layer tanh decoder with a Bernoulli head; measured 2.13 vs
+    # 2.35 ms fwd+bwd against the XLA bf16 path at the big-K shape.
+    # Supersedes remat_decoder when active (nothing is stored anyway).
+    fused_mlp_decoder: bool = False
     # Rematerialize the decoder in the backward pass: drops the
     # (S·N·K, hidden) activation residuals from HBM and recomputes the
     # bf16 matmuls instead. Back-to-back on the big-K step: 2.88–2.98 vs
@@ -205,6 +212,18 @@ def _weighted_loglik_fn(config: SvaeConfig):
 def _weighted_loglik(dec_params, z, x, config: SvaeConfig) -> jnp.ndarray:
     """Decoder log-likelihood batched over (S, N, K) — shared by the XLA
     and fused-combine paths."""
+    if (
+        config.fused_mlp_decoder
+        and config.likelihood == "bernoulli"
+        and len(dec_params) == 3
+        and config.activation is jnp.tanh
+        and (jax.default_backend() == "tpu" or _COMBINE_INTERPRET)
+    ):
+        from svax.ops import decoder_mlp_pallas
+
+        return decoder_mlp_pallas.bernoulli_mlp_loglik_fused(
+            dec_params, z, x, interpret=_COMBINE_INTERPRET
+        )
     if config.likelihood == "bernoulli":
         # x-free big-logits formulation — measurably faster (nets docstring).
         return nets.bernoulli_loglik_decomposed(
