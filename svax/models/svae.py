@@ -118,6 +118,20 @@ class SvaeConfig(NamedTuple):
         )
 
 
+_FUSED_OMITTED_MSG = (
+    "this SinPosterior came from the fused combine kernel "
+    "(SvaeConfig.fused_combine=True), which keeps prec_chol/cov/"
+    "logdet_prec VMEM-resident and does not return them (they are None, "
+    "which JAX flattens away so the pytree stays jit-safe); rerun with "
+    "fused_combine=False (the sin_combine XLA path) to get them."
+)
+
+
+def _require_full_posterior(post: "SinPosterior", caller: str) -> None:
+    if post.prec_chol is None or post.cov is None or post.logdet_prec is None:
+        raise ValueError(f"{caller}: {_FUSED_OMITTED_MSG}")
+
+
 class SinPosterior(NamedTuple):
     """Per-(n,k) structured posterior q(z|x,k) and mixture weights."""
 
@@ -191,6 +205,7 @@ def sample_posterior(
     ``eps`` overrides the random draw (used by parity tests to run identical
     noise through float32 and float64 paths).
     """
+    _require_full_posterior(post, "sample_posterior")
     shape = (num_samples,) + post.mean.shape
     if eps is None:
         eps = jax.random.normal(key, shape, dtype=post.mean.dtype)
@@ -260,6 +275,7 @@ def _recon_sampled(
     E[ll·∇log r̃] to the gradient; the baseline b is the per-point mean
     over the S samples (S > 1) — gradient-valid since E[∇log r̃] = 0.
     """
+    _require_full_posterior(post, "_recon_sampled")
     s = config.num_samples
     n, k, d = post.mean.shape
     k_cat, k_norm = jax.random.split(key)
@@ -291,9 +307,12 @@ def _recon_sampled(
         # sample's own ll and biases E[sg(ll−b)·∇log r̃]; LOO is exact.
         baseline = (jnp.sum(ll, axis=0, keepdims=True) - ll) / (s - 1)
     else:
-        # Batch-mean baseline: other points' ll are independent of this
-        # point's k̂, so E[b·∇log r̃] = b̄·E[∇log r̃] = 0 — still unbiased.
-        baseline = jnp.mean(ll)
+        # Leave-one-out batch baseline: other points' ll are independent
+        # of this point's k̂, so E[b·∇log r̃] = b̄·E[∇log r̃] = 0 — exactly
+        # unbiased. (A self-inclusive batch mean carries the point's own
+        # ll at weight 1/N, correlated with its own k̂ — an O(1/N) bias.)
+        denom = jnp.maximum(ll.size - 1, 1)
+        baseline = (jnp.sum(ll) - ll) / denom
     reinforce = jax.lax.stop_gradient(ll - baseline) * (
         logr_sel - jax.lax.stop_gradient(logr_sel)
     )
@@ -308,6 +327,7 @@ def local_kl_term(post: SinPosterior, exp: GmmExpected) -> jnp.ndarray:
       E_q(z|n,k)[log q(z|n,k)] = −(d/2)(1+log2π) + ½log|J̃|
     Returns (N,) of KL(q(z,k|x) ‖ p̄(z,k)) ≥ 0 (up to MC-free exactness).
     """
+    _require_full_posterior(post, "local_kl_term")
     d = post.mean.shape[-1]
     resp = jnp.exp(post.log_resp)
     g_k = 0.5 * exp.logdet - 0.5 * d * _LOG_2PI - 0.5 * exp.quad  # (K,)

@@ -23,8 +23,12 @@ The x-dependence of ⟨x, o⟩ rides through (y, c), which are computed
 OUTSIDE the kernel from (x, W3, b3) — so their cotangents carry the
 t-term's W3/b3 gradients without the kernel ever touching x. The backward
 is one recompute kernel applying ``jax.vjp`` of the tile function in VMEM
-(dW/db accumulate across the sequential grid). bf16 dots with f32
-accumulation match the ``nn_compute_dtype="bfloat16"`` XLA path.
+(dW/db accumulate across the sequential grid). Its grid is transposed to
+(N-tiles, S·K_pad) — the accumulated (s,k) axis innermost — so the
+per-n-tile dy/dc output blocks are only ever revisited on consecutive
+grid steps (the Pallas TPU accumulation contract; verified on hardware
+with n_pad > tile, benchmarks/verify_decoder_bwd_tpu.py). bf16 dots with
+f32 accumulation match the ``nn_compute_dtype="bfloat16"`` XLA path.
 """
 
 from __future__ import annotations
@@ -134,15 +138,22 @@ def _bwd_call(z_t, w1t, b1, w2t, b2, w3t, b3, y_t, c_t, dll,
     d_pad = w1t.shape[1]
     sk = sk_d // d_pad
     n_tiles = n_pad // tile
-    grid = (sk, n_tiles)
+    # Grid order (n_tiles, sk): the accumulated (s,k) axis MUST be the
+    # innermost (minor) grid dim so the dy/dc output blocks — indexed by
+    # the n-tile alone — are revisited only on CONSECUTIVE grid steps.
+    # Pallas TPU keeps an output block resident only across consecutive
+    # iterations; with the axes the other way round (the round-2 bug) each
+    # dy block was re-entered once per (s,k) after n_tiles-1 intervening
+    # steps, which is undefined and corrupts W3/b3 grads when n_pad > tile.
+    grid = (n_tiles, sk)
     fixed = lambda *_: (0, 0)  # noqa: E731
 
     def kernel(z_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
                y_ref, c_ref, dll_ref,
                dz_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dw3_ref,
                db3_ref, dy_ref, dc_ref):
-        g1 = pl.program_id(0)
-        g2 = pl.program_id(1)
+        gn = pl.program_id(0)   # n-tile (outer)
+        gk = pl.program_id(1)   # (s,k) pair (inner)
 
         def f(z, w1, db1_, w2, db2_, w3, db3_, y, c):
             return _tile_ll(z, w1, db1_, w2, db2_, w3, db3_, y, c,
@@ -154,21 +165,21 @@ def _bwd_call(z_t, w1t, b1, w2t, b2, w3t, b3, y_t, c_t, dll,
         )
         dz, dw1, db1, dw2, db2, dw3, db3, dy, dc = vjp(dll_ref[0, 0:1, :])
         dz_ref[:] = dz
-        first = jnp.logical_and(g1 == 0, g2 == 0)
+        first = jnp.logical_and(gn == 0, gk == 0)
 
-        # dy/dc accumulate over g1 (the (s,k) axis) per n-tile; dW/db over
-        # the whole grid. The TPU grid runs sequentially, so revisited
-        # blocks accumulate safely.
+        # dy/dc accumulate over gk (the inner (s,k) sweep) per n-tile;
+        # dW/db over the whole grid. Both revisit patterns are consecutive
+        # under this grid order, so the accumulation is well-defined.
         dc8 = jnp.concatenate(
             [dc, jnp.zeros((7, dc.shape[-1]), jnp.float32)], axis=0
         )
 
-        @pl.when(g1 == 0)
+        @pl.when(gk == 0)
         def _init_y():
             dy_ref[:] = dy
             dc_ref[:] = dc8
 
-        @pl.when(g1 > 0)
+        @pl.when(gk > 0)
         def _acc_y():
             dy_ref[:] = dy_ref[:] + dy
             dc_ref[:] = dc_ref[:] + dc8
@@ -198,7 +209,7 @@ def _bwd_call(z_t, w1t, b1, w2t, b2, w3t, b3, y_t, c_t, dll,
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         in_specs=[
-            pl.BlockSpec((d_pad, tile), lambda g1, g2: (g1, g2),
+            pl.BlockSpec((d_pad, tile), lambda gn, gk: (gk, gn),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((dh1, d_pad), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((dh1, 1), fixed, memory_space=pltpu.VMEM),
@@ -206,15 +217,15 @@ def _bwd_call(z_t, w1t, b1, w2t, b2, w3t, b3, y_t, c_t, dll,
             pl.BlockSpec((dh2, 1), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((dd, dh2), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((dd, 1), fixed, memory_space=pltpu.VMEM),
-            pl.BlockSpec((dh2, tile), lambda g1, g2: (0, g2),
+            pl.BlockSpec((dh2, tile), lambda gn, gk: (0, gn),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, tile), lambda g1, g2: (0, g2),
+            pl.BlockSpec((8, tile), lambda gn, gk: (0, gn),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, tile), lambda g1, g2: (g1, 0, g2),
+            pl.BlockSpec((1, 8, tile), lambda gn, gk: (gk, 0, gn),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((d_pad, tile), lambda g1, g2: (g1, g2),
+            pl.BlockSpec((d_pad, tile), lambda gn, gk: (gk, gn),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((dh1, d_pad), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((dh1, 1), fixed, memory_space=pltpu.VMEM),
@@ -222,9 +233,9 @@ def _bwd_call(z_t, w1t, b1, w2t, b2, w3t, b3, y_t, c_t, dll,
             pl.BlockSpec((dh2, 1), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((dd, dh2), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((dd, 1), fixed, memory_space=pltpu.VMEM),
-            pl.BlockSpec((dh2, tile), lambda g1, g2: (0, g2),
+            pl.BlockSpec((dh2, tile), lambda gn, gk: (0, gn),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, tile), lambda g1, g2: (0, g2),
+            pl.BlockSpec((8, tile), lambda gn, gk: (0, gn),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(

@@ -159,6 +159,17 @@ def test_forward_integration_fused_combine(monkeypatch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
 
+    # The fused posterior omits chol/cov/logdet (VMEM-resident by design);
+    # consumers that need them must fail with the descriptive message, not
+    # an opaque NoneType error.
+    import pytest
+
+    with pytest.raises(ValueError, match="fused combine kernel"):
+        svae.sample_posterior(key, out_f.posterior, 2)
+    with pytest.raises(ValueError, match="fused combine kernel"):
+        svae.local_kl_term(out_f.posterior,
+                           gmm.expected_params(nat))
+
 
 def test_fused_combine_inside_shard_map(monkeypatch):
     """The kernel runs under shard_map (DP): the closed-form CVI update

@@ -79,6 +79,44 @@ def test_gradients_match_mirror():
         assert float(jnp.max(jnp.abs(a - b))) / scale < 5e-3
 
 
+def test_gradients_match_mirror_multitile():
+    """n_pad > tile: the per-n-tile dy/dc accumulation path (round-2 bug).
+
+    tile=128 with n=300 → 3 n-tiles, so the backward grid revisits the
+    dW/db blocks across n-tiles and the dy/dc blocks across the inner
+    (s,k) sweep. Interpret mode checks the index maps/accumulation logic;
+    the hardware revisit-ordering contract is separately verified on a
+    real chip by benchmarks/verify_decoder_bwd_tpu.py.
+    """
+    params, z, x = _setup(s=2, n=300, k=5, d=3, dh=16, dd=24, seed=7)
+    w = jnp.cos(jnp.arange(z.shape[0] * z.shape[1] * z.shape[2],
+                           dtype=jnp.float32)).reshape(z.shape[:3])
+
+    def lf(p, zz):
+        return jnp.sum(w * dmp.bernoulli_mlp_loglik_fused(
+            p, zz, x, tile=128, interpret=True))
+
+    def lm(p, zz):
+        return jnp.sum(w * _mirror(p, zz, x))
+
+    (gp_f, gz_f) = jax.grad(lf, argnums=(0, 1))(params, z)
+    (gp_m, gz_m) = jax.grad(lm, argnums=(0, 1))(params, z)
+    # At this size a handful of elements (4/9000 measured) land on bf16
+    # rounding-boundary ties between the kernel's f32-activation profile
+    # and the mirror, diverging by 1 ulp (~1e-3). Systematic accumulation
+    # corruption would break whole tiles, so bound BOTH the worst case and
+    # the mismatch count.
+    err = np.abs(np.asarray(gz_f) - np.asarray(gz_m))
+    assert float(err.max()) < 5e-3
+    assert (err > 1e-5).mean() < 5e-3
+    # dW noise grows ~sqrt(rows) (3000 here vs 400 in the small test;
+    # 5.6e-3 measured). A missing/garbage tile contribution — what this
+    # test exists to catch — is O(1) relative, so 2e-2 stays sharp.
+    for a, b in zip(jax.tree.leaves(gp_f), jax.tree.leaves(gp_m)):
+        scale = max(1.0, float(jnp.max(jnp.abs(b))))
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 2e-2
+
+
 def test_forward_integration(monkeypatch):
     """svae.forward with fused_mlp_decoder ≈ the XLA bf16 path."""
     from svax.models.svae import SvaeConfig
