@@ -47,7 +47,17 @@ def _oracle(pot_h, pot_p, exp, eps, scale=1.0):
 
 
 @pytest.mark.parametrize(
-    "n,k,d,s", [(40, 5, 2, 2), (130, 10, 3, 1), (64, 7, 4, 3)]
+    "n,k,d,s",
+    [
+        (40, 5, 2, 2),
+        (130, 10, 3, 1),
+        (64, 7, 4, 3),
+        # Past the 128-lane packed-W boundary (d²+d+3 > 128 → 256-lane
+        # block): d=11 and 12 exercise the second lane register. Measured
+        # a WIN on v5e at d=12 (2.37 vs 3.81 ms fwd, K=100, N=1024).
+        (48, 5, 11, 2),
+        (32, 4, 12, 1),
+    ],
 )
 def test_fused_combine_matches_oracle(n, k, d, s):
     pot_h, pot_p, exp, eps = _inputs(n, k, d, s)
@@ -83,8 +93,9 @@ def _scalar_through(fused: bool, pot_h, pot_p, exp, eps, s):
 
 
 @pytest.mark.parametrize("wrt", ["pot", "exp"])
-def test_fused_combine_gradients_match(wrt):
-    n, k, d, s = 48, 5, 3, 2
+@pytest.mark.parametrize("d", [3, 11])  # 11: 256-lane packed-W block
+def test_fused_combine_gradients_match(wrt, d):
+    n, k, s = 48, 5, 2
     pot_h, pot_p, exp, eps = _inputs(n, k, d, s, seed=3)
 
     if wrt == "pot":
