@@ -25,6 +25,9 @@ def test_dryrun_impl_mesh_matrix(n_devices, capsys):
     graft._dryrun_impl(n_devices)
     out = capsys.readouterr().out
     assert f"dryrun_multichip({n_devices}): ok" in out
+    # The second pass runs the bigk geometry (K=100, d=10) the DP/comp
+    # engines exist for — a shape-dependent sharding regression fails here.
+    assert f"dryrun_multichip({n_devices}): bigk ok (K=100, d=10" in out
     if n_devices >= 4:
         assert "x2 data x comp" in out
     else:
