@@ -48,6 +48,22 @@ class TrainerConfig:
     decoder_hidden: tuple = (50, 50)
     prior_alpha: float = 1.0
     prior_kappa: float = 0.05
+    # --- best-held-out tracking / time-to-target (BASELINE metric #2) ---
+    # Metric key to MAXIMIZE from the eval hook's dict ("" = the first key
+    # the hook returns, e.g. test_elbo_per_point). Tracking activates
+    # whenever an eval hook and a test set are present.
+    track_metric: str = ""
+    # Stop after this many consecutive evals without ≥ min_delta
+    # improvement (0 = never stop early). Evals happen once per chunk.
+    patience: int = 0
+    min_delta: float = 0.0
+    # Optional target: the first eval where the metric reaches it is
+    # recorded as {target_step, target_wall_s} — "time-to-target" as a
+    # first-class artifact instead of hand-read JSONL.
+    target_value: float | None = None
+    # Where to write the summary JSON ("" = don't write; the summary is
+    # always available as trainer.best after fit()).
+    best_artifact: str = ""
 
 
 def _rho_schedule(tc: TrainerConfig) -> float | Callable:
@@ -77,6 +93,11 @@ class Trainer:
     def __init__(self, trainer_config: TrainerConfig):
         self.tc = trainer_config
         self._num_total: int = 0  # set by fit() from the training set
+        # Best-held-out tracking results, populated by fit() when an eval
+        # hook and a test set are present: ``best`` is the time-to-target
+        # summary dict, ``best_state`` a host snapshot at the best eval.
+        self.best: dict | None = None
+        self.best_state = None
 
     # -- hooks ------------------------------------------------------------
     def init(self, key: jax.Array, data):
@@ -152,7 +173,28 @@ class Trainer:
             runner = make_minibatch_scan_runner(step, chunk)
         evaluate = self.make_eval()
 
+        import time
+
         logger = JsonlLogger(tc.logfile or None)
+        tracking = evaluate is not None and x_test is not None
+        self.best = None
+        self.best_state = None
+        best_ckpt = None
+        if ckpt is not None and tracking:
+            from svax.train.checkpoint import Checkpointer
+
+            best_ckpt = Checkpointer(
+                str(tc.checkpoint_dir).rstrip("/") + "/best", max_to_keep=1
+            )
+        best_val = float("-inf")
+        best_step = -1
+        best_wall = 0.0
+        since_improve = 0
+        stopped_early = False
+        target_step = None
+        target_wall = None
+        metric_key = tc.track_metric or None
+        wall_t0 = time.perf_counter()
         t = start
         while t < tc.steps:
             todo = min(chunk, tc.steps - t)
@@ -179,15 +221,61 @@ class Trainer:
             t += todo
 
             row = {k: float(v) for k, v in last.items()}
-            if x_test is not None and evaluate is not None:
+            if tracking:
                 ev = evaluate(state, x_test, k_run)
                 row.update({k: float(v) for k, v in ev.items()})
+                if metric_key is None:
+                    metric_key = next(iter(ev))
+                val = float(ev[metric_key])
+                wall = time.perf_counter() - wall_t0
+                if val > best_val + tc.min_delta:
+                    best_val, best_step, best_wall = val, t, wall
+                    since_improve = 0
+                    # Host snapshot of the best state (cheap at these model
+                    # sizes) so callers get the best-step model even without
+                    # checkpointing; with checkpointing it also persists.
+                    self.best_state = jax.device_get(state)
+                    if best_ckpt is not None:
+                        best_ckpt.save(t, state, k_run)
+                else:
+                    since_improve += 1
+                if (
+                    tc.target_value is not None
+                    and target_step is None
+                    and val >= tc.target_value
+                ):
+                    target_step, target_wall = t, wall
             logger.log(t, **row)
             if ckpt is not None:
                 ckpt.save(t, state, k_run)
+            if tracking and tc.patience and since_improve >= tc.patience:
+                stopped_early = True
+                break
         if ckpt is not None:
             ckpt.close()
+        if best_ckpt is not None:
+            best_ckpt.close()
         logger.close()
+        if tracking:
+            self.best = {
+                "metric": metric_key,
+                "best_value": best_val,
+                "best_step": best_step,
+                "best_wall_s": round(best_wall, 3),
+                "target": tc.target_value,
+                "target_step": target_step,
+                "target_wall_s": None if target_wall is None else round(target_wall, 3),
+                "stopped_early": stopped_early,
+                "steps_run": t,
+                "total_wall_s": round(time.perf_counter() - wall_t0, 3),
+            }
+            if tc.best_artifact:
+                import json
+                from pathlib import Path
+
+                path = Path(tc.best_artifact)
+                path.parent.mkdir(parents=True, exist_ok=True)
+                path.write_text(json.dumps(self.best, indent=1))
         return state
 
 
