@@ -382,7 +382,6 @@ def forward(
 
     use_fused_combine = (
         config.fused_combine
-        and axis_comp is None
         and config.recon_mode == "weighted"
         and config.jitter == 0.0
         and (jax.default_backend() == "tpu" or _COMBINE_INTERPRET)
@@ -390,22 +389,42 @@ def forward(
     if use_fused_combine:
         from svax.ops import combine_pallas
 
+        # K under axis_comp is this shard's slice; eps matches it.
+        k_here = exp.log_pi.shape[0]
         if eps is None:
             eps = jax.random.normal(
                 key,
-                (config.num_samples, n, config.num_components,
-                 config.latent_dim),
+                (config.num_samples, n, k_here, config.latent_dim),
                 dtype=jnp.float32,
             )
+        if axis_comp is None:
+            log_norm = None
+        else:
+            # Component-parallel fused path (flash-softmax decomposition):
+            # the light ρ-kernel emits this shard's pre-softmax log ρ, the
+            # normalizer logsumexps ACROSS the comp axis (one pmax + one
+            # psum), and the heavy kernel consumes it as log_norm so its
+            # responsibilities / local-KL rows / statistics are weighted
+            # by the GLOBAL softmax. Autodiff composes exactly: the main
+            # kernel's d/dθ at fixed log_norm plus the lse-path cotangent
+            # through the ρ-kernel's custom VJP is the chain rule of the
+            # true normalized objective.
+            log_rho = combine_pallas.log_rho_fused(
+                pot_h, pot_p, exp, interpret=_COMBINE_INTERPRET
+            )
+            log_norm = gmm.lse_over_components(log_rho, axis_comp)
         z, log_resp, mean, local_n, stats = combine_pallas.combine_fused(
             pot_h, pot_p, exp, eps, config.num_samples, scale=scale,
-            interpret=_COMBINE_INTERPRET,
+            interpret=_COMBINE_INTERPRET, log_norm=log_norm,
         )
         resp = jnp.exp(log_resp)
         loglik = _weighted_loglik_fn(config)(nn_params["decoder"], z, x, config)
         recon = scale * jnp.sum(resp * jnp.mean(loglik, axis=0))
         local = scale * jnp.sum(local_n)
-        global_kl = gmm.kl_global(pgm_nat, prior_nat)
+        if axis_comp is not None:
+            recon = jax.lax.psum(recon, axis_comp)
+            local = jax.lax.psum(local, axis_comp)
+        global_kl = gmm.kl_global(pgm_nat, prior_nat, axis_comp=axis_comp)
         return SvaeOutputs(
             elbo=recon - local - global_kl,
             recon=recon,

@@ -34,6 +34,17 @@ Layouts (all 2-D, Mosaic-native):
 
 The pure-jnp oracle is the existing ``svae.sin_combine`` path; tests
 compare values AND gradients in interpret mode (SURVEY.md §5).
+
+Component parallelism (K-sharding) composes via a flash-softmax
+decomposition: ``log_rho_fused`` (a light ρ-only kernel) emits each
+shard's pre-softmax logits, the global normalizer is one
+pmax + psum logsumexp over the mesh axis (``gmm.lse_over_components``),
+and ``combine_fused(log_norm=...)`` consumes it so responsibilities,
+local-KL rows, and statistics are weighted by the GLOBAL softmax.
+Autodiff composes exactly (the lse path carries the cross-shard
+cotangents through the ρ-kernel's recompute VJP); verified against the
+single-device XLA forward on a 4-way K-shard mesh — values, statistics,
+and NN gradients (tests/test_combine_kernel.py).
 """
 
 from __future__ import annotations
@@ -56,12 +67,19 @@ def _round_up(v: int, m: int) -> int:
 # --------------------------------------------------------------- tile math
 
 
-def _tile_core(ph, pp, w, *, d: int):
+def _tile_core(ph, pp, w, *, d: int, norm=None):
     """Shared slot-form core: J̃ → chol → μ̃ → log|J̃| → softmax over K.
 
     ph, pp: (d, T) potential rows; w: (K_pad, W_LANES) packed expecteds.
     Returns a dict of slot values, every per-(n,k) quantity a (K_pad, T)
     block. Pure jnp: runs inside Pallas kernels and under jax.vjp.
+
+    ``norm``: optional (1, T) externally-supplied log-normalizer row.
+    When given, responsibilities use log r̃ − norm instead of the local
+    softmax — the component-parallel mode, where the true normalizer is a
+    logsumexp ACROSS K-shards (flash-softmax decomposition: a light
+    ρ-kernel emits log ρ, the cross-shard lse rides the mesh axis in XLA,
+    and this kernel consumes the result).
     """
     col = lambda j: w[:, j : j + 1]  # (K_pad, 1)  # noqa: E731
     logpi = col(0)
@@ -115,14 +133,19 @@ def _tile_core(ph, pp, w, *, d: int):
         dot_mu_h = dot_mu_h + mu[i] * h[i]
     log_rho = logpi + 0.5 * logdet_k - 0.5 * quad_k + 0.5 * dot_mu_h \
         - 0.5 * logdet_J
-    mx = jnp.max(log_rho, axis=0, keepdims=True)
-    ex = jnp.exp(log_rho - mx)
-    denom = jnp.sum(ex, axis=0, keepdims=True)
-    log_resp = log_rho - (mx + jnp.log(denom))
-    resp = ex / denom
+    if norm is None:
+        mx = jnp.max(log_rho, axis=0, keepdims=True)
+        ex = jnp.exp(log_rho - mx)
+        denom = jnp.sum(ex, axis=0, keepdims=True)
+        log_resp = log_rho - (mx + jnp.log(denom))
+        resp = ex / denom
+    else:
+        log_resp = log_rho - norm
+        resp = jnp.exp(log_resp)
 
     return dict(logpi=logpi, logdet_k=logdet_k, quad_k=quad_k, pm=pm, pr=pr,
-                L=L, mu=mu, logdet_J=logdet_J, log_resp=log_resp, resp=resp)
+                L=L, mu=mu, logdet_J=logdet_J, log_rho=log_rho,
+                log_resp=log_resp, resp=resp)
 
 
 def _tile_sampling(core, eps, *, d: int, s: int, k_pad: int):
@@ -195,9 +218,10 @@ def _tile_localstats(core, mask, *, d: int, k_pad: int):
     return local, block
 
 
-def _tile_math(ph, pp, w, eps, mask, *, d: int, s: int, k: int, k_pad: int):
+def _tile_math(ph, pp, w, eps, mask, *, d: int, s: int, k: int, k_pad: int,
+               norm=None):
     """The whole combine on one tile (forward kernel body)."""
-    core = _tile_core(ph, pp, w, d=d)
+    core = _tile_core(ph, pp, w, d=d, norm=norm)
     z_out = _tile_sampling(core, eps, d=d, s=s, k_pad=k_pad)
     local, block = _tile_localstats(core, mask, d=d, k_pad=k_pad)
     mu_out = jnp.concatenate(core["mu"], axis=0)  # (d·K_pad, T)
@@ -216,9 +240,117 @@ def w_lanes(d: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile", "d", "s", "k", "k_pad", "interpret")
+    jax.jit, static_argnames=("tile", "d", "k_pad", "interpret")
 )
-def _fwd_call(ph_t, pp_t, w, eps_t, mask, *, tile, d, s, k, k_pad, interpret):
+def _rho_fwd_call(ph_t, pp_t, w, *, tile, d, k_pad, interpret):
+    """Light kernel: core through log ρ only → (K_pad, n_pad)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_pad = ph_t.shape[-1]
+
+    def kernel(ph_ref, pp_ref, w_ref, rho_ref):
+        core = _tile_core(ph_ref[:], pp_ref[:], w_ref[:], d=d)
+        rho_ref[:] = core["log_rho"]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_pad // tile,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        in_specs=[
+            pl.BlockSpec((d, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_pad, w.shape[-1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k_pad, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k_pad, n_pad), jnp.float32),
+        interpret=interpret,
+    )(ph_t, pp_t, w)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile", "d", "k_pad", "interpret")
+)
+def _rho_bwd_call(ph_t, pp_t, w, drho_t, *, tile, d, k_pad, interpret):
+    """Recompute backward of the ρ-kernel (jax.vjp of the core in VMEM)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_pad = ph_t.shape[-1]
+    pot_spec = pl.BlockSpec((d, tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((k_pad, w.shape[-1]), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    kt_spec = pl.BlockSpec((k_pad, tile), lambda i: (0, i),
+                           memory_space=pltpu.VMEM)
+
+    def kernel(ph_ref, pp_ref, w_ref, drho_ref, dph_ref, dpp_ref, dw_ref):
+        i = pl.program_id(0)
+
+        def f(ph, pp, wv):
+            return _tile_core(ph, pp, wv, d=d)["log_rho"]
+
+        _, vjp = jax.vjp(f, ph_ref[:], pp_ref[:], w_ref[:])
+        dph, dpp, dw = vjp(drho_ref[:])
+        dph_ref[:] = dph
+        dpp_ref[:] = dpp
+
+        @pl.when(i == 0)
+        def _init():
+            dw_ref[:] = dw
+
+        @pl.when(i > 0)
+        def _acc():
+            dw_ref[:] = dw_ref[:] + dw
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_pad // tile,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        in_specs=[pot_spec, pot_spec, w_spec, kt_spec],
+        out_specs=(pot_spec, pot_spec, w_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((d, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((d, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((k_pad, w.shape[-1]), jnp.float32),
+        ),
+        interpret=interpret,
+    )(ph_t, pp_t, w, drho_t)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _rho_core(ph_t, pp_t, w, tile, d, k_pad, interpret):
+    return _rho_fwd_call(ph_t, pp_t, w, tile=tile, d=d, k_pad=k_pad,
+                         interpret=interpret)
+
+
+def _rho_core_fwd(ph_t, pp_t, w, tile, d, k_pad, interpret):
+    out = _rho_fwd_call(ph_t, pp_t, w, tile=tile, d=d, k_pad=k_pad,
+                        interpret=interpret)
+    return out, (ph_t, pp_t, w)
+
+
+def _rho_core_bwd(tile, d, k_pad, interpret, res, drho):
+    ph_t, pp_t, w = res
+    return _rho_bwd_call(ph_t, pp_t, w, drho, tile=tile, d=d, k_pad=k_pad,
+                         interpret=interpret)
+
+
+_rho_core.defvjp(_rho_core_fwd, _rho_core_bwd)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile", "d", "s", "k", "k_pad", "interpret", "use_norm"),
+)
+def _fwd_call(ph_t, pp_t, w, eps_t, mask, norm_t, *, tile, d, s, k, k_pad,
+              interpret, use_norm=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -226,12 +358,13 @@ def _fwd_call(ph_t, pp_t, w, eps_t, mask, *, tile, d, s, k, k_pad, interpret):
     grid = (n_pad // tile,)
     f_pad = stats_lanes(d)
 
-    def kernel(ph_ref, pp_ref, w_ref, eps_ref, mask_ref,
+    def kernel(ph_ref, pp_ref, w_ref, eps_ref, mask_ref, norm_ref,
                z_ref, lr_ref, mu_ref, local_ref, stats_ref):
         i = pl.program_id(0)
         z, log_resp, mu, local, block = _tile_math(
             ph_ref[:], pp_ref[:], w_ref[:], eps_ref[:], mask_ref[0:1, :],
             d=d, s=s, k=k, k_pad=k_pad,
+            norm=norm_ref[0:1, :] if use_norm else None,
         )
         z_ref[:] = z
         lr_ref[:] = log_resp
@@ -262,6 +395,7 @@ def _fwd_call(ph_t, pp_t, w, eps_t, mask, *, tile, d, s, k, k_pad, interpret):
             pl.BlockSpec((sd * k_pad, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((sd * k_pad, tile), lambda i: (0, i),
@@ -282,15 +416,17 @@ def _fwd_call(ph_t, pp_t, w, eps_t, mask, *, tile, d, s, k, k_pad, interpret):
             jax.ShapeDtypeStruct((k_pad, f_pad), jnp.float32),
         ),
         interpret=interpret,
-    )(ph_t, pp_t, w, eps_t, mask)
+    )(ph_t, pp_t, w, eps_t, mask, norm_t)
     return z_t, lr_t, mu_t, local_t, stats
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile", "d", "s", "k", "k_pad", "interpret")
+    jax.jit,
+    static_argnames=("tile", "d", "s", "k", "k_pad", "interpret", "use_norm"),
 )
-def _bwd_call(ph_t, pp_t, w, eps_t, mask, dz_t, dlr_t, dmu_t, dlocal_t,
-              dstats, *, tile, d, s, k, k_pad, interpret):
+def _bwd_call(ph_t, pp_t, w, eps_t, mask, norm_t, dz_t, dlr_t, dmu_t,
+              dlocal_t, dstats, *, tile, d, s, k, k_pad, interpret,
+              use_norm=False):
     """Recompute-backward via TWO Pallas kernels (cotangent linearity).
 
     jax.vjp of the whole tile in one kernel holds every forward slot AND
@@ -328,6 +464,13 @@ def _bwd_call(ph_t, pp_t, w, eps_t, mask, dz_t, dlr_t, dmu_t, dlocal_t,
         jax.ShapeDtypeStruct((d, n_pad), jnp.float32),
         jax.ShapeDtypeStruct((k_pad, w.shape[-1]), jnp.float32),
     )
+    if use_norm:
+        # Each backward kernel also emits the (per-tile) normalizer
+        # cotangent; rows 1..7 are zero padding.
+        out_specs = out_specs + (row8_spec,)
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
+        )
 
     def accumulate(i, dw_ref, dw):
         @pl.when(i == 0)
@@ -343,93 +486,154 @@ def _bwd_call(ph_t, pp_t, w, eps_t, mask, dz_t, dlr_t, dmu_t, dlocal_t,
     mu_spec = pl.BlockSpec((d * k_pad, tile), lambda i: (0, i),
                            memory_space=pltpu.VMEM)
 
-    def kernel_zlr(ph_ref, pp_ref, w_ref, eps_ref, dz_ref, dlr_ref, dmu_ref,
-                   dph_ref, dpp_ref, dw_ref):
+    def kernel_zlr(*refs):
+        if use_norm:
+            (ph_ref, pp_ref, w_ref, eps_ref, norm_ref, dz_ref, dlr_ref,
+             dmu_ref, dph_ref, dpp_ref, dw_ref, dn_ref) = refs
+        else:
+            (ph_ref, pp_ref, w_ref, eps_ref, dz_ref, dlr_ref, dmu_ref,
+             dph_ref, dpp_ref, dw_ref) = refs
         i = pl.program_id(0)
         eps_v = eps_ref[:]
 
-        def f(ph, pp, wv):
-            core = _tile_core(ph, pp, wv, d=d)
-            z = _tile_sampling(core, eps_v, d=d, s=s, k_pad=k_pad)
-            return z, core["log_resp"], jnp.concatenate(core["mu"], axis=0)
+        if use_norm:
+            def f(ph, pp, wv, nrm):
+                core = _tile_core(ph, pp, wv, d=d, norm=nrm)
+                z = _tile_sampling(core, eps_v, d=d, s=s, k_pad=k_pad)
+                return (z, core["log_resp"],
+                        jnp.concatenate(core["mu"], axis=0))
 
-        _, vjp = jax.vjp(f, ph_ref[:], pp_ref[:], w_ref[:])
-        dph, dpp, dw = vjp((dz_ref[:], dlr_ref[:], dmu_ref[:]))
+            _, vjp = jax.vjp(f, ph_ref[:], pp_ref[:], w_ref[:],
+                             norm_ref[0:1, :])
+            dph, dpp, dw, dn = vjp((dz_ref[:], dlr_ref[:], dmu_ref[:]))
+            dn_ref[0:1, :] = dn
+            dn_ref[1:, :] = jnp.zeros((7, dn.shape[-1]), jnp.float32)
+        else:
+            def f(ph, pp, wv):
+                core = _tile_core(ph, pp, wv, d=d)
+                z = _tile_sampling(core, eps_v, d=d, s=s, k_pad=k_pad)
+                return (z, core["log_resp"],
+                        jnp.concatenate(core["mu"], axis=0))
+
+            _, vjp = jax.vjp(f, ph_ref[:], pp_ref[:], w_ref[:])
+            dph, dpp, dw = vjp((dz_ref[:], dlr_ref[:], dmu_ref[:]))
         dph_ref[:] = dph
         dpp_ref[:] = dpp
         accumulate(i, dw_ref, dw)
 
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
-    dph1, dpp1, dw1 = pl.pallas_call(
+    in_specs_zlr = [pot_spec, pot_spec, w_spec, eps_spec]
+    ins_zlr = [ph_t, pp_t, w, eps_t]
+    if use_norm:
+        in_specs_zlr += [row8_spec]
+        ins_zlr += [norm_t]
+    in_specs_zlr += [eps_spec, kt_spec, mu_spec]
+    ins_zlr += [dz_t, dlr_t, dmu_t]
+    out1 = pl.pallas_call(
         kernel_zlr,
         grid=grid,
         compiler_params=params,
-        in_specs=[pot_spec, pot_spec, w_spec, eps_spec, eps_spec, kt_spec,
-                  mu_spec],
+        in_specs=in_specs_zlr,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(ph_t, pp_t, w, eps_t, dz_t, dlr_t, dmu_t)
+    )(*ins_zlr)
 
     # (b) local-KL + statistics vjp: never touches ε or the solves.
-    def kernel_ls(ph_ref, pp_ref, w_ref, mask_ref, dlocal_ref, dstats_ref,
-                  dph_ref, dpp_ref, dw_ref):
+    def kernel_ls(*refs):
+        if use_norm:
+            (ph_ref, pp_ref, w_ref, mask_ref, norm_ref, dlocal_ref,
+             dstats_ref, dph_ref, dpp_ref, dw_ref, dn_ref) = refs
+        else:
+            (ph_ref, pp_ref, w_ref, mask_ref, dlocal_ref, dstats_ref,
+             dph_ref, dpp_ref, dw_ref) = refs
         i = pl.program_id(0)
         mask_v = mask_ref[0:1, :]
 
-        def f(ph, pp, wv):
-            core = _tile_core(ph, pp, wv, d=d)
-            return _tile_localstats(core, mask_v, d=d, k_pad=k_pad)
+        if use_norm:
+            def f(ph, pp, wv, nrm):
+                core = _tile_core(ph, pp, wv, d=d, norm=nrm)
+                return _tile_localstats(core, mask_v, d=d, k_pad=k_pad)
 
-        _, vjp = jax.vjp(f, ph_ref[:], pp_ref[:], w_ref[:])
-        dph, dpp, dw = vjp((dlocal_ref[0:1, :], dstats_ref[:]))
+            _, vjp = jax.vjp(f, ph_ref[:], pp_ref[:], w_ref[:],
+                             norm_ref[0:1, :])
+            dph, dpp, dw, dn = vjp((dlocal_ref[0:1, :], dstats_ref[:]))
+            dn_ref[0:1, :] = dn
+            dn_ref[1:, :] = jnp.zeros((7, dn.shape[-1]), jnp.float32)
+        else:
+            def f(ph, pp, wv):
+                core = _tile_core(ph, pp, wv, d=d)
+                return _tile_localstats(core, mask_v, d=d, k_pad=k_pad)
+
+            _, vjp = jax.vjp(f, ph_ref[:], pp_ref[:], w_ref[:])
+            dph, dpp, dw = vjp((dlocal_ref[0:1, :], dstats_ref[:]))
         dph_ref[:] = dph
         dpp_ref[:] = dpp
         accumulate(i, dw_ref, dw)
 
-    dph2, dpp2, dw2 = pl.pallas_call(
+    in_specs_ls = [pot_spec, pot_spec, w_spec, row8_spec]
+    ins_ls = [ph_t, pp_t, w, mask]
+    if use_norm:
+        in_specs_ls += [row8_spec]
+        ins_ls += [norm_t]
+    in_specs_ls += [row8_spec, stats_spec]
+    ins_ls += [dlocal_t, dstats]
+    out2 = pl.pallas_call(
         kernel_ls,
         grid=grid,
         compiler_params=params,
-        in_specs=[pot_spec, pot_spec, w_spec, row8_spec, row8_spec,
-                  stats_spec],
+        in_specs=in_specs_ls,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(ph_t, pp_t, w, mask, dlocal_t, dstats)
+    )(*ins_ls)
 
+    if use_norm:
+        dph1, dpp1, dw1, dn1 = out1
+        dph2, dpp2, dw2, dn2 = out2
+        return dph1 + dph2, dpp1 + dpp2, dw1 + dw2, dn1 + dn2
+    dph1, dpp1, dw1 = out1
+    dph2, dpp2, dw2 = out2
     return dph1 + dph2, dpp1 + dpp2, dw1 + dw2
 
 
 # --------------------------------------------------- differentiable wrapper
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
-def _fused_core(ph_t, pp_t, w, eps_t, mask, tile, tile_bwd, d, s, k, k_pad,
-                interpret):
-    return _fwd_call(ph_t, pp_t, w, eps_t, mask,
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13)
+)
+def _fused_core(ph_t, pp_t, w, eps_t, mask, norm_t, tile, tile_bwd, d, s, k,
+                k_pad, interpret, use_norm):
+    return _fwd_call(ph_t, pp_t, w, eps_t, mask, norm_t,
                      tile=tile, d=d, s=s, k=k, k_pad=k_pad,
-                     interpret=interpret)
+                     interpret=interpret, use_norm=use_norm)
 
 
-def _fused_core_fwd(ph_t, pp_t, w, eps_t, mask, tile, tile_bwd, d, s, k,
-                    k_pad, interpret):
-    out = _fwd_call(ph_t, pp_t, w, eps_t, mask,
+def _fused_core_fwd(ph_t, pp_t, w, eps_t, mask, norm_t, tile, tile_bwd, d, s,
+                    k, k_pad, interpret, use_norm):
+    out = _fwd_call(ph_t, pp_t, w, eps_t, mask, norm_t,
                     tile=tile, d=d, s=s, k=k, k_pad=k_pad,
-                    interpret=interpret)
-    return out, (ph_t, pp_t, w, eps_t, mask)
+                    interpret=interpret, use_norm=use_norm)
+    return out, (ph_t, pp_t, w, eps_t, mask, norm_t)
 
 
-def _fused_core_bwd(tile, tile_bwd, d, s, k, k_pad, interpret, res, cts):
+def _fused_core_bwd(tile, tile_bwd, d, s, k, k_pad, interpret, use_norm,
+                    res, cts):
     # The recompute backward holds ~2× the forward's live VMEM set (every
     # forward slot plus its cotangent), so it runs at its own smaller tile.
-    ph_t, pp_t, w, eps_t, mask = res
+    ph_t, pp_t, w, eps_t, mask, norm_t = res
     dz_t, dlr_t, dmu_t, dlocal_t, dstats = cts
-    dph_t, dpp_t, dw = _bwd_call(
-        ph_t, pp_t, w, eps_t, mask, dz_t, dlr_t, dmu_t, dlocal_t, dstats,
-        tile=tile_bwd, d=d, s=s, k=k, k_pad=k_pad, interpret=interpret,
+    grads = _bwd_call(
+        ph_t, pp_t, w, eps_t, mask, norm_t, dz_t, dlr_t, dmu_t, dlocal_t,
+        dstats, tile=tile_bwd, d=d, s=s, k=k, k_pad=k_pad,
+        interpret=interpret, use_norm=use_norm,
     )
-    return dph_t, dpp_t, dw, None, None
+    if use_norm:
+        dph_t, dpp_t, dw, dn = grads
+        return dph_t, dpp_t, dw, None, None, dn
+    dph_t, dpp_t, dw = grads
+    return dph_t, dpp_t, dw, None, None, None
 
 
 _fused_core.defvjp(_fused_core_fwd, _fused_core_bwd)
@@ -453,6 +657,36 @@ def pack_expected(exp: GmmExpected, k_pad: int) -> jnp.ndarray:
     return w
 
 
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def log_rho_fused(
+    pot_h: jnp.ndarray,
+    pot_p: jnp.ndarray,
+    exp: GmmExpected,
+    tile: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Pre-softmax log ρ (N, K) from the light ρ-kernel (differentiable).
+
+    The component-parallel companion of ``combine_fused``: each K-shard
+    computes its own log ρ, the global normalizer is
+    ``gmm.lse_over_components(log_rho, axis_comp)`` (one pmax + one psum
+    over the mesh axis), and the result feeds ``combine_fused``'s
+    ``log_norm`` so the heavy kernel weights by GLOBAL responsibilities.
+    """
+    n, d = pot_h.shape
+    k = exp.log_pi.shape[0]
+    k_pad = _round_up(k, 8)
+    tile = min(tile, _round_up(n, 128))
+    n_pad = _round_up(n, tile)
+    ph_t = jnp.zeros((d, n_pad), jnp.float32).at[:, :n].set(
+        pot_h.astype(jnp.float32).T)
+    pp_t = jnp.ones((d, n_pad), jnp.float32).at[:, :n].set(
+        pot_p.astype(jnp.float32).T)
+    w = pack_expected(exp, k_pad)
+    rho_t = _rho_core(ph_t, pp_t, w, tile, d, k_pad, interpret)
+    return rho_t[:k, :n].T
+
+
 @functools.partial(
     jax.jit, static_argnames=("num_samples", "tile", "tile_bwd", "interpret")
 )
@@ -466,6 +700,7 @@ def combine_fused(
     tile: int = 128,
     tile_bwd: int = 128,
     interpret: bool = False,
+    log_norm: jnp.ndarray | None = None,
 ):
     """Fused combine+KL+sampling+stats. Differentiable (custom VJP).
 
@@ -473,6 +708,12 @@ def combine_fused(
     normals. Returns (z (S, N, K, d), log_resp (N, K), mean (N, K, d),
     local (N,), GmmSuffStats scaled by ``scale``) — exactly the pieces
     svae.forward consumes; chol/cov/ezz never leave the kernel.
+
+    ``log_norm`` (N,): externally-computed log-normalizer for component
+    parallelism (see ``log_rho_fused``); responsibilities become
+    exp(log ρ − log_norm) instead of the in-kernel softmax over local K,
+    and the returned ``local`` / suff-stats rows cover only this shard's
+    components (callers psum the Σ_k reductions over the comp axis).
     """
     n, d = pot_h.shape
     k = exp.log_pi.shape[0]
@@ -499,8 +740,19 @@ def combine_fused(
     )
     mask = jnp.zeros((8, n_pad), jnp.float32).at[:, :n].set(1.0)
 
+    use_norm = log_norm is not None
+    if use_norm:
+        # Padded columns get +1e30 → resp = exp(log ρ − 1e30) = 0 exactly
+        # (the local-softmax path bounds padded resp by construction; the
+        # external-normalizer path must do it explicitly).
+        norm_t = jnp.full((8, n_pad), -_NEG, jnp.float32).at[0, :n].set(
+            log_norm.astype(jnp.float32))
+    else:
+        norm_t = jnp.zeros((8, n_pad), jnp.float32)
+
     z_t, lr_t, mu_t, local_t, stats = _fused_core(
-        ph_t, pp_t, w, eps_t, mask, tile, tile_bwd, d, s, k, k_pad, interpret
+        ph_t, pp_t, w, eps_t, mask, norm_t, tile, tile_bwd, d, s, k, k_pad,
+        interpret, use_norm
     )
 
     z = z_t.reshape(s, d, k_pad, n_pad)[:, :, :k, :n]

@@ -116,6 +116,15 @@ def make_train_step(
             # transpose broadcasts cotangents); the replicated optimizer
             # needs the sum over every sharded axis.
             grads = jax.lax.psum(grads, grad_axes)
+        if axis_comp is not None:
+            # forward() psums recon/local over the comp axis INSIDE the
+            # loss, so every shard's loss is already the comp-global value
+            # and transpose(psum)=psum makes Σ_shards ∇loss = ndev_comp·∇F
+            # (measured exactly 4× on a 4-shard mesh; Adam's scale
+            # invariance masked it). Normalize back to the true gradient.
+            grads = jax.tree.map(
+                lambda g: g / jax.lax.psum(1, axis_comp), grads
+            )
         if axis_name is not None:
             ndev = jax.lax.psum(1, axis_name)
             loss = jax.lax.psum(loss, axis_name)

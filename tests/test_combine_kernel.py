@@ -182,6 +182,123 @@ def test_forward_integration_fused_combine(monkeypatch):
                            gmm.expected_params(nat))
 
 
+def test_fused_combine_external_norm_matches_local_softmax():
+    """log_norm = lse(log ρ) from the ρ-kernel reproduces the in-kernel
+    softmax path exactly — values AND gradients (the flash-softmax
+    decomposition used for component parallelism, single-device case)."""
+    n, k, d, s = 40, 5, 3, 2
+    pot_h, pot_p, exp, eps = _inputs(n, k, d, s, seed=5)
+
+    log_rho = cp.log_rho_fused(pot_h, pot_p, exp, interpret=True)
+    assert log_rho.shape == (n, k)
+    # The ρ-kernel itself matches the oracle's pre-softmax logits.
+    post = svae.sin_combine(pot_h, pot_p, exp)
+    lse = jax.nn.logsumexp(log_rho, axis=-1)
+    np.testing.assert_allclose(np.asarray(log_rho - lse[:, None]),
+                               np.asarray(post.log_resp),
+                               rtol=2e-5, atol=2e-5)
+
+    out_local = cp.combine_fused(pot_h, pot_p, exp, eps, s, interpret=True)
+    out_norm = cp.combine_fused(pot_h, pot_p, exp, eps, s, interpret=True,
+                                log_norm=lse)
+    for a, b in zip(jax.tree.leaves(out_local), jax.tree.leaves(out_norm)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+
+    def scalar(ph, pp, e, use_norm):
+        if use_norm:
+            lr = cp.log_rho_fused(ph, pp, e, interpret=True)
+            nrm = jax.nn.logsumexp(lr, axis=-1)
+        else:
+            nrm = None
+        z, lr2, mean, local, st = cp.combine_fused(
+            ph, pp, e, eps, s, interpret=True, log_norm=nrm)
+        resp = jnp.exp(lr2)
+        return (jnp.sum(resp * jnp.sum(jnp.tanh(z), axis=(0, -1)))
+                - jnp.sum(local) + 0.01 * jnp.sum(st.scatter_stat))
+
+    g_n = jax.grad(scalar, argnums=(0, 1, 2))(pot_h, pot_p, exp, True)
+    g_l = jax.grad(scalar, argnums=(0, 1, 2))(pot_h, pot_p, exp, False)
+    for a, b in zip(jax.tree.leaves(g_n), jax.tree.leaves(g_l)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
+
+
+def test_fused_combine_comp_sharded(monkeypatch):
+    """The fused combine under COMPONENT sharding: a 4-way K-shard mesh
+    with the ρ-kernel + cross-shard lse + norm-input heavy kernel matches
+    the single-device XLA forward at matched eps — ELBO pieces, statistics,
+    and NN gradients (which flow through the lse's psum/pmax)."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    monkeypatch.setattr(svae, "_COMBINE_INTERPRET", True)
+    from svax.models.svae import SvaeConfig
+
+    n, k, d, s, d_in, n_comp = 32, 8, 2, 2, 2, 4
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal((n, d_in)).astype(np.float32))
+    config = SvaeConfig(latent_dim=d, num_components=k, num_samples=s,
+                        num_total=n, fused_combine=True)
+    key = jax.random.PRNGKey(0)
+    prior = gmm.make_prior(k, d)
+    f32 = lambda t: jax.tree.map(lambda p: p.astype(jnp.float32), t)  # noqa: E731
+    nn = f32(svae.init_params(key, d_in, config, (8,), (8,)))
+    nat = f32(gmm.init_variational(key, prior))
+    prior = f32(prior)
+    eps = jnp.asarray(rng.standard_normal((s, n, k, d)).astype(np.float32))
+
+    # Single-device XLA oracle (fused off).
+    cfg_x = config._replace(fused_combine=False)
+    out_ref = svae.forward(nn, nat, prior, x, key, cfg_x, eps=eps)
+    g_ref = jax.grad(
+        lambda p: -svae.forward(nn_params=p, pgm_nat=nat, prior_nat=prior,
+                                x=x, key=key, config=cfg_x, eps=eps).elbo
+    )(nn)
+
+    mesh = Mesh(np.asarray(jax.devices()[:n_comp]), ("comp",))
+    nat_spec = jax.tree.map(lambda _: P("comp"), nat)
+
+    def body(nn_p, nat_l, prior_l, eps_l):
+        out = svae.forward(nn_p, nat_l, prior_l, x, key, config, eps=eps_l,
+                           axis_comp="comp")
+        g = jax.grad(
+            lambda p: -svae.forward(p, nat_l, prior_l, x, key, config,
+                                    eps=eps_l, axis_comp="comp").elbo
+        )(nn_p)
+        # psum/ndev: forward psums recon/local over comp inside the loss,
+        # so Σ_shards ∇(global loss) = ndev·∇F (the svae_step recipe).
+        g = jax.tree.map(lambda t: t / jax.lax.psum(1, "comp"),
+                         jax.lax.psum(g, "comp"))
+        return (out.elbo, out.recon, out.local_kl, out.global_kl,
+                out.suff_stats, g)
+
+    elbo, recon, local, gkl, stats, g = jax.jit(
+        jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), nat_spec, nat_spec, P(None, None, "comp", None)),
+            out_specs=(P(), P(), P(), P(),
+                       jax.tree.map(lambda _: P("comp"),
+                                    out_ref.suff_stats),
+                       P()),
+            check_vma=False,
+        )
+    )(nn, nat, prior, eps)
+
+    np.testing.assert_allclose(float(recon), float(out_ref.recon), rtol=2e-4)
+    np.testing.assert_allclose(float(local), float(out_ref.local_kl),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(float(gkl), float(out_ref.global_kl),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(elbo), float(out_ref.elbo), rtol=2e-4)
+    for a, b in zip(jax.tree.leaves(stats),
+                    jax.tree.leaves(out_ref.suff_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
+
+
 def test_fused_combine_inside_shard_map(monkeypatch):
     """The kernel runs under shard_map (DP): the closed-form CVI update
     must equal the single-device fused step exactly (sufficient statistics
