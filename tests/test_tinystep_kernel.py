@@ -1,0 +1,137 @@
+"""Whole-train-step megakernel vs the XLA train step at matched noise.
+
+Runs the tinystep kernel body through the Pallas interpreter on CPU with
+INJECTED eps and compares every piece of updated state — NN params, Adam
+moments, PGM naturals — plus the per-step metrics against an explicit
+mirror of ``svae_step.make_train_step`` (Adam via optax, CVI via
+natgrad.cvi_update, forward via svae.forward at the same eps).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from svax.data import make_pinwheel_data
+from svax.models import svae
+from svax.models.svae import SvaeConfig
+from svax.ops import tinystep_pallas as tsp
+from svax.pgm import gmm, natgrad
+from svax.train import svae_step
+
+
+def _setup(n=72, k=4, s=2, hidden=(16, 16), lr=3e-3, seed=0):
+    x64 = jnp.asarray(make_pinwheel_data(num_classes=3, num_per_class=n // 3,
+                                         seed=seed)[:n])
+    x = x64.astype(jnp.float32)
+    config = SvaeConfig(latent_dim=2, num_components=k, num_samples=s,
+                        num_total=n)
+    prior = jax.tree.map(
+        lambda a: a.astype(jnp.float32), gmm.make_prior(k, 2, kappa=0.05)
+    )
+    opt = optax.adam(lr)
+    state = svae_step.init_state(
+        jax.random.PRNGKey(seed), 2, config, prior, opt,
+        encoder_hidden=hidden, decoder_hidden=hidden, data=x,
+    )
+    state = jax.tree.map(
+        lambda a: a.astype(jnp.float32)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a, state
+    )
+    return x, config, prior, opt, state
+
+
+def _oracle_steps(state, prior, x, eps_all, config, opt, rho):
+    """T explicit XLA steps at the injected eps (mirrors make_train_step)."""
+
+    def loss_fn(nn_params, pgm_nat, eps):
+        out = svae.forward(nn_params, pgm_nat, prior, x,
+                           jax.random.PRNGKey(0), config, eps=eps)
+        return -out.elbo / config.num_total, out
+
+    metrics = {"recon": [], "local_kl": [], "neg_loss": []}
+    for t in range(eps_all.shape[0]):
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.nn_params, state.pgm_nat, eps_all[t]
+        )
+        updates, opt_state = opt.update(grads, state.opt_state,
+                                        state.nn_params)
+        nn_params = optax.apply_updates(state.nn_params, updates)
+        inc = gmm.stats_to_nat(out.suff_stats)
+        pgm_nat = natgrad.cvi_update(state.pgm_nat, prior, inc, rho)
+        state = svae_step.SvaeTrainState(
+            nn_params=nn_params, opt_state=opt_state, pgm_nat=pgm_nat,
+            step=state.step + 1,
+        )
+        metrics["recon"].append(float(out.recon))
+        metrics["local_kl"].append(float(out.local_kl))
+        metrics["neg_loss"].append(float(loss))
+    return state, metrics
+
+
+def _assert_tree_close(a, b, rtol, atol, what):
+    for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_allclose(
+            np.asarray(la, np.float64), np.asarray(lb, np.float64),
+            rtol=rtol, atol=atol, err_msg=what,
+        )
+
+
+def _run_and_compare(t_steps, n=72, k=4, s=2, hidden=(16, 16), rho=0.2,
+                     lr=3e-3, seed=0):
+    x, config, prior, opt, state = _setup(n, k, s, hidden, lr, seed)
+    rng = np.random.default_rng(seed + 100)
+    eps_all = jnp.asarray(
+        rng.standard_normal((t_steps, s, n, k, 2)).astype(np.float32)
+    )
+
+    st_k, mets_k = tsp.train_chunk(
+        state, prior, x, lr=lr, rho=rho, t_steps=t_steps, eps=eps_all,
+        interpret=True,
+    )
+    st_o, mets_o = _oracle_steps(state, prior, x, eps_all, config, opt, rho)
+
+    _assert_tree_close(st_k.nn_params, st_o.nn_params, 5e-4, 5e-5,
+                       "nn params")
+    adam_k, adam_o = st_k.opt_state[0], st_o.opt_state[0]
+    assert int(adam_k.count) == int(adam_o.count)
+    _assert_tree_close(adam_k.mu, adam_o.mu, 5e-4, 5e-6, "adam mu")
+    _assert_tree_close(adam_k.nu, adam_o.nu, 5e-4, 1e-8, "adam nu")
+    _assert_tree_close(st_k.pgm_nat, st_o.pgm_nat, 2e-5, 2e-5, "naturals")
+    np.testing.assert_allclose(np.asarray(mets_k["recon"]),
+                               np.asarray(mets_o["recon"]), rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(mets_k["local_kl"]),
+                               np.asarray(mets_o["local_kl"]),
+                               rtol=2e-4, atol=2e-4)
+    assert int(st_k.step) == int(st_o.step)
+
+
+def test_single_step_matches_oracle():
+    _run_and_compare(t_steps=1)
+
+
+def test_trajectory_matches_oracle():
+    """3 chained in-kernel steps == 3 XLA steps: Adam moments, CVI
+    naturals, and metrics all track across the VMEM-resident carry."""
+    _run_and_compare(t_steps=3)
+
+
+def test_odd_shapes():
+    """K not a sublane multiple, N not a lane multiple, S=1, bigger MLPs."""
+    _run_and_compare(t_steps=2, n=150, k=5, s=1, hidden=(20, 12), rho=0.5,
+                     seed=3)
+
+
+def test_supported_gate():
+    config = SvaeConfig(latent_dim=2, num_components=10, num_samples=4,
+                        num_total=400)
+    ok = tsp.supported(config, batch_full=True, encoder_hidden=(50, 50),
+                       decoder_hidden=(50, 50), rho=0.05)
+    assert ok
+    assert not tsp.supported(
+        config._replace(likelihood="bernoulli"), batch_full=True,
+        encoder_hidden=(50, 50), decoder_hidden=(50, 50), rho=0.05,
+    )
+    assert not tsp.supported(config, batch_full=False,
+                             encoder_hidden=(50, 50),
+                             decoder_hidden=(50, 50), rho=0.05)
