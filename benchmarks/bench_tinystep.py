@@ -30,6 +30,11 @@ def main() -> None:
     ap.add_argument("--t-steps", type=int, default=1000)
     ap.add_argument("--chunks", type=int, default=7)
     ap.add_argument("--skip-parity", action="store_true")
+    ap.add_argument("--precision", choices=["highest", "default"],
+                    default="highest",
+                    help="MXU passes for the THROUGHPUT stage (parity "
+                         "always runs HIGHEST); 'default' = single-pass "
+                         "bf16 inputs, f32 accumulate")
     args = ap.parse_args()
 
     import jax
@@ -127,10 +132,13 @@ def main() -> None:
         assert abs(rec_k - rec_o) / (abs(rec_o) + 1e-6) < 5e-3
 
     # ------------------------------------------------ throughput (PRNG mode)
+    prec = (jax.lax.Precision.HIGHEST if args.precision == "highest"
+            else jax.lax.Precision.DEFAULT)
     t_steps = args.t_steps
     t0 = time.perf_counter()
     st, mets = tsp.train_chunk(state, prior, x, lr=lr, rho=rho,
-                               t_steps=t_steps, num_samples=s, seed=1)
+                               t_steps=t_steps, num_samples=s, seed=1,
+                               precision=prec)
     jax.block_until_ready(st.pgm_nat.dir_nat)
     print(f"[tput] compile+first chunk: {time.perf_counter()-t0:.1f}s  "
           f"neg_loss[0]={float(mets['neg_loss'][0]):.4f} "
@@ -141,7 +149,7 @@ def main() -> None:
         t0 = time.perf_counter()
         st, mets = tsp.train_chunk(st, prior, x, lr=lr, rho=rho,
                                    t_steps=t_steps, num_samples=s,
-                                   seed=2 + i)
+                                   seed=2 + i, precision=prec)
         jax.block_until_ready(st.pgm_nat.dir_nat)
         times.append(time.perf_counter() - t0)
     times.sort()
@@ -151,6 +159,7 @@ def main() -> None:
     assert nl == nl, "NaN in megakernel training"
     print(json.dumps({
         "metric": "tinystep_megakernel_steps_per_sec",
+        "precision": args.precision,
         "value": round(sps, 1),
         "us_per_step": round(1e6 * dt / t_steps, 2),
         "t_steps_per_launch": t_steps,

@@ -686,7 +686,8 @@ def supported(config, *, batch_full: bool, encoder_hidden, decoder_hidden,
 def train_chunk(state, prior: GmmNat, x: jnp.ndarray, *, lr: float,
                 rho: float, t_steps: int, num_samples: int = 4,
                 seed=0, eps: jnp.ndarray | None = None,
-                interpret: bool = False):
+                interpret: bool = False,
+                precision=jax.lax.Precision.HIGHEST):
     """Run T complete train steps in one kernel launch.
 
     Semantically equivalent to T iterations of
@@ -705,7 +706,7 @@ def train_chunk(state, prior: GmmNat, x: jnp.ndarray, *, lr: float,
     geom = make_geom(
         n=x.shape[0], d_in=x.shape[1], d_lat=dec_w[0]["w"].shape[0],
         k=k, s=eps.shape[1] if eps is not None else num_samples,
-        num_total=x.shape[0], h1=h1, h2=h2,
+        num_total=x.shape[0], h1=h1, h2=h2, precision=precision,
     )
     return _train_chunk_jit(
         state, prior, x, seed, eps, _geom_key(geom), float(lr), float(rho),
