@@ -95,6 +95,11 @@ def main() -> None:
                         "degrees of freedom (0 = Gaussian mixture prior)")
     p.add_argument("--smm-iters", type=int, default=2,
                    help="u-z coordinate rounds in the SMM combine")
+    p.add_argument("--smm-envelope-grads", action="store_true",
+                   help="envelope-theorem gradients for the SMM u-rounds: "
+                        "stop-gradient the converged q(u) so the backward "
+                        "pass skips the coordinate combines (~exact at the "
+                        "u fixed point; measured numbers in BASELINE.md)")
     args = p.parse_args()
 
     from configs import apply_config
@@ -147,6 +152,7 @@ def main() -> None:
         remat_combine=args.remat,
         dof=args.smm_dof,
         smm_iters=args.smm_iters,
+        smm_envelope_grads=args.smm_envelope_grads,
         nn_compute_dtype=args.nn_compute_dtype,
         recon_mode=args.recon_mode,
         fused_combine=args.fused_combine,

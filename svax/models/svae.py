@@ -72,6 +72,11 @@ class SvaeConfig(NamedTuple):
     # it) and the number of u–z coordinate rounds inside the combine.
     dof: float = 0.0
     smm_iters: int = 2
+    # Envelope-theorem gradients for the SMM u-rounds: stop-gradient the
+    # converged q(u) parameters so the backward pass skips the num_iters
+    # coordinate combines (exact at the u-fixed point; measured bias +
+    # step-cost numbers in BASELINE.md).
+    smm_envelope_grads: bool = False
     # Decoder compute dtype: "bfloat16" runs the (S·N·K)-row decoder body
     # (hidden activations + logits) in bf16 with f32 accumulation of every
     # (n, k) reduction — halves the dominant HBM streams of the memory-

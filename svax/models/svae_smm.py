@@ -94,6 +94,7 @@ def smm_combine(
     num_iters: int = 2,
     jitter: float = 0.0,
     axis_comp: str | None = None,
+    envelope_grads: bool = False,
 ) -> SmmPosterior:
     """Coordinate-ascent u–z combine; returns the converged posterior family.
 
@@ -119,6 +120,15 @@ def smm_combine(
         mean, chol, cov, logdet, h = _z_update(pot_h, pot_p, exp, e_u, jitter)
         quad = _quad_latent(mean, cov, exp)
         gamma_b = b0 + 0.5 * quad
+        e_u = a / gamma_b
+    if envelope_grads:
+        # Envelope theorem: q(u) = Gamma(a, gamma_b) maximizes the bound
+        # given q(z), so at the coordinate-ascent fixed point
+        # ∂bound/∂q(u) = 0 and the cotangent chain through the u-rounds
+        # carries no signal — stopping BOTH q(u) parameters drops
+        # num_iters whole combine chains from the backward pass (measured
+        # step-cost + gradient-bias numbers in BASELINE.md).
+        gamma_b = jax.lax.stop_gradient(gamma_b)
         e_u = a / gamma_b
     # Final z-update so q(z) is optimal for the final q(u).
     mean, chol, cov, logdet, h = _z_update(pot_h, pot_p, exp, e_u, jitter)
@@ -220,7 +230,7 @@ def forward(
     )
     post, free_energy = smm_combine(
         pot_h, pot_p, exp, config.dof, config.smm_iters, config.jitter,
-        axis_comp=axis_comp,
+        axis_comp=axis_comp, envelope_grads=config.smm_envelope_grads,
     )
     resp = jnp.exp(post.log_resp)
 

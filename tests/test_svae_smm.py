@@ -194,3 +194,44 @@ def test_expected_smm_log_prob_vs_quadrature():
             vals.append(np.exp(log_pi[k]) * val)
         want = np.log(np.sum(vals))
         np.testing.assert_allclose(got[zi], want, rtol=1e-6)
+
+
+def test_envelope_grads_small_bias():
+    """smm_envelope_grads cuts the u-round backward chains; at the u fixed
+    point the cut cotangents vanish (envelope theorem), so with enough
+    coordinate rounds the gradient bias must be far below the gradient
+    scale — and the forward values must be bit-identical."""
+    x = jnp.asarray(
+        make_pinwheel_data(num_classes=3, num_per_class=16, seed=5),
+        jnp.float32,
+    )
+    n = x.shape[0]
+    base = SvaeConfig(latent_dim=2, num_components=4, num_samples=1,
+                      num_total=n, dof=4.0, smm_iters=6)
+    prior = jax.tree.map(lambda a: a.astype(jnp.float32),
+                         gmm.make_prior(4, 2))
+    key = jax.random.PRNGKey(3)
+    nn = jax.tree.map(
+        lambda a: a.astype(jnp.float32),
+        svae.init_params(key, 2, base, (8,), (8,)),
+    )
+    nat = jax.tree.map(lambda a: a.astype(jnp.float32),
+                       gmm.init_variational(key, prior, x))
+    eps = jax.random.normal(jax.random.PRNGKey(9), (1, n, 4, 2), jnp.float32)
+
+    def loss(nn_p, cfg):
+        return -svae_smm.forward(nn_p, nat, prior, x, key, cfg, eps=eps).elbo
+
+    v_full = float(loss(nn, base))
+    v_env = float(loss(nn, base._replace(smm_envelope_grads=True)))
+    assert v_full == v_env  # stop_gradient never changes values
+
+    g_full = jax.grad(lambda p: loss(p, base))(nn)
+    g_env = jax.grad(
+        lambda p: loss(p, base._replace(smm_envelope_grads=True))
+    )(nn)
+    num = sum(float(jnp.sum((a - b) ** 2)) for a, b in
+              zip(jax.tree.leaves(g_full), jax.tree.leaves(g_env)))
+    den = sum(float(jnp.sum(a ** 2)) for a in jax.tree.leaves(g_full))
+    rel = (num / den) ** 0.5
+    assert rel < 0.02, f"envelope gradient bias too large: {rel}"
