@@ -25,6 +25,12 @@ CONFIGS: dict[str, dict] = {
         rho=0.05,
         alpha=1.0,
         kappa=0.05,
+        # Input-noise augmentation sigma (~5.5% of the data std 7.2): the
+        # round-3 seed-robustness lever — 8-seed IW/pt mean went from
+        # -5.70 +- 0.69 (4/8 crossing the pure-GMM predictive) to
+        # -5.37 +- 0.08 with 6/8 crossing when combined with best-of-2
+        # restarts (BASELINE.md seed table; runs/seed_sweep_r3*.json).
+        aug_noise=0.4,
         # Measured best on v5e (benchmarks/bench_chunks.py): 8799 steps/s
         # at chunk 1000 vs 1858 at 100 — dispatch latency dominates below.
         scan_chunk=1000,

@@ -23,6 +23,20 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+def _augment(step, sigma: float):
+    """Wrap a train step with input-noise augmentation (sigma = 0: no-op)."""
+    if sigma <= 0.0:
+        return step
+
+    def wrapped(state, xb, key):
+        import jax as _jax
+
+        k1, k2 = _jax.random.split(key)
+        return step(state, xb + sigma * _jax.random.normal(k1, xb.shape, xb.dtype), k2)
+
+    return wrapped
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", choices=["pinwheel-svae", "auto-svae", "mnist-svae", "bigk-dp"], default="")
@@ -35,6 +49,11 @@ def main() -> None:
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--batch-size", type=int, default=0, help="0 = full batch")
     p.add_argument("--lr", type=float, default=1e-3, help="Adam lr for NN params")
+    p.add_argument("--aug-noise", type=float, default=0.0,
+                   help="input-noise augmentation sigma: each train step "
+                        "sees x + sigma*N(0,I). The seed-robustness lever "
+                        "for the tiny pinwheel set (BASELINE.md seed "
+                        "table); 0 disables")
     p.add_argument("--weight-decay", type=float, default=0.0,
                    help="AdamW decoupled weight decay on the NN params")
     p.add_argument("--rho", type=float, default=0.05, help="CVI step size")
@@ -208,7 +227,8 @@ def main() -> None:
             dmesh,
         )
     else:
-        step = jax.jit(svae_step.make_train_step(config, prior, opt, rho, model=model))
+        step = jax.jit(_augment(svae_step.make_train_step(
+            config, prior, opt, rho, model=model), args.aug_noise))
     evaluate = jax.jit(svae_step.make_eval_fn(config, prior, model=model))
 
     logf = open(args.logfile, "a") if args.logfile else None
@@ -248,7 +268,10 @@ def main() -> None:
     if args.scan_chunk > 0 and not args.dp:
         from svax.train.loop import make_minibatch_scan_runner, make_scan_runner
 
-        raw_step = svae_step.make_train_step(config, prior, opt, rho, model=model)
+        raw_step = _augment(
+            svae_step.make_train_step(config, prior, opt, rho, model=model),
+            args.aug_noise,
+        )
 
         def make_runners(length):
             return (
