@@ -58,6 +58,12 @@ def analyze(name: str, k: int, d: int, s: int, hidden, batch: int,
     from svax.train import svae_step
     from svax.train.loop import make_scan_runner
 
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/svax-jax-cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     prec = {"highest": jax.lax.Precision.HIGHEST,
             "high": jax.lax.Precision.HIGH,
             "default": jax.lax.Precision.DEFAULT}[precision]
@@ -81,29 +87,53 @@ def analyze(name: str, k: int, d: int, s: int, hidden, batch: int,
                                  tuple(hidden), tuple(hidden), data=x)
     step = svae_step.make_train_step(config, prior, opt, rho=0.1)
 
-    # Cost analysis of ONE step (not the scan): logical flops + HBM traffic.
-    compiled = jax.jit(step).lower(state, x, key).compile()
-    ca = compiled.cost_analysis()
-    if isinstance(ca, (list, tuple)):
-        ca = ca[0]
-    flops = float(ca.get("flops", 0.0))
-    # XLA reports bytes accessed{} split over operands; 'bytes accessed' is
-    # the total when present, else sum the operand entries.
-    bytes_acc = float(ca.get("bytes accessed", 0.0))
-    if bytes_acc == 0.0:
-        bytes_acc = sum(v for key_, v in ca.items()
-                        if key_.startswith("bytes accessed") and isinstance(v, float))
+    def _cost(step_fn):
+        ca = jax.jit(step_fn).lower(state, x, key).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        fl = float(ca.get("flops", 0.0))
+        # XLA reports bytes accessed{} split over operands; 'bytes accessed'
+        # is the total when present, else sum the operand entries.
+        ba = float(ca.get("bytes accessed", 0.0))
+        if ba == 0.0:
+            ba = sum(v for key_, v in ca.items()
+                     if key_.startswith("bytes accessed") and isinstance(v, float))
+        return fl, ba
 
-    runner = make_scan_runner(step, chunk)
-    state2, _ = runner(state, x, key)  # warm compile
-    jax.block_until_ready(state2.pgm_nat.dir_nat)
-    times = []
-    for i in range(n_chunks):
-        t0 = time.perf_counter()
-        state2, m = runner(state2, x, jax.random.fold_in(key, i))
-        jax.block_until_ready(state2.pgm_nat.dir_nat)
-        times.append((time.perf_counter() - t0) / chunk)
-    dt = float(np.median(times))
+    # Cost analysis of ONE step (not the scan): logical flops + HBM traffic.
+    flops, bytes_acc = _cost(step)
+    flops_src = "xla"
+    if fused_combine or fused_mlp_decoder:
+        # XLA's cost model cannot see inside Pallas custom calls, so FLOPs
+        # for the fused step come from the mathematically identical unfused
+        # lowering (fusion does not change logical FLOPs). bytes_acc keeps
+        # the fused step's own figure (that IS the point of fusion), which
+        # still excludes kernel-internal VMEM traffic by construction.
+        ref_cfg = config._replace(fused_combine=False, fused_mlp_decoder=False)
+        ref_step = svae_step.make_train_step(ref_cfg, prior, opt, rho=0.1)
+        flops, _ = _cost(ref_step)
+        flops_src = "xla-unfused-equivalent"
+
+    # Paired-chunk timing: a scan of `chunk` steps and one of `2*chunk`
+    # steps each pay the same fixed per-launch cost (dispatch + the scalar
+    # host-read sync, a full tunnel round-trip ~25 ms out here); their
+    # difference is `chunk` steps of pure on-device time. block_until_ready
+    # alone is NOT a safe barrier through the tunnel (see bench.py).
+    def _median_time(c):
+        r = make_scan_runner(step, c)
+        st, _ = r(state, x, key)  # warm compile
+        float(st.pgm_nat.dir_nat.ravel()[0])
+        ts = []
+        for i in range(n_chunks):
+            t0 = time.perf_counter()
+            st, m = r(st, x, jax.random.fold_in(key, i))
+            float(st.pgm_nat.dir_nat.ravel()[0])
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts)), m
+
+    t1, _ = _median_time(chunk)
+    t2, m = _median_time(2 * chunk)
+    dt = (t2 - t1) / chunk
 
     peak_flops, peak_hbm, kind = _chip_peaks()
     tflops = flops / dt
@@ -126,6 +156,7 @@ def analyze(name: str, k: int, d: int, s: int, hidden, batch: int,
         "arith_intensity_flops_per_byte": round(intensity, 1),
         "ridge_point": round(ridge, 1),
         "bound": "compute" if intensity > ridge else "memory",
+        "flops_source": flops_src,
         "remat": remat,
         "fused_decoder": fused_decoder,
         "precision": precision,
@@ -161,14 +192,15 @@ def main() -> None:
     print(f"backend={jax.default_backend()}", flush=True)
     if args.config in ("bigk", "both"):
         analyze("bigk-single-chip", k=100, d=10, s=1, hidden=(200, 200),
-                batch=1024, remat=args.remat, precision=args.precision,
+                batch=1024, chunk=100,
+                remat=args.remat, precision=args.precision,
                 fused_decoder=args.fused_decoder,
                 compute_dtype=args.compute_dtype,
                 fused_combine=args.fused_combine,
                 fused_mlp_decoder=args.fused_mlp_decoder)
     if args.config in ("mnist", "both"):
         analyze("mnist-svae", k=10, d=8, s=1, hidden=(200, 200), batch=256,
-                remat=args.remat, precision=args.precision,
+                chunk=200, remat=args.remat, precision=args.precision,
                 fused_decoder=args.fused_decoder,
                 compute_dtype=args.compute_dtype,
                 fused_combine=args.fused_combine,
