@@ -63,24 +63,27 @@ def main() -> None:
     )
     chunk = 1000
     n_chunks = 7
+    mega_chunk = 10000  # ~31 µs/step of fixed per-launch cost (dispatch +
+    mega_reps = 5       # tunnel RTT) amortizes: 11.9k steps/s at T=1000 →
+    #                     17.4k at T=10000 (marginal rate 19.2k, BASELINE.md)
 
     def run_megakernel():
-        # Whole-train-step Pallas megakernel: 1000 steps per launch, all
+        # Whole-train-step Pallas megakernel: 10000 steps per launch, all
         # state VMEM-resident; single-pass MXU dots (IW-quality parity
         # with HIGHEST/XLA measured: -5.93 vs -5.94 at 15k steps).
         from svax.ops import tinystep_pallas as tsp
 
         st = state
         st, mets = tsp.train_chunk(
-            st, prior, x, lr=1e-3, rho=0.05, t_steps=chunk, num_samples=4,
-            seed=0, precision=jax.lax.Precision.DEFAULT,
+            st, prior, x, lr=1e-3, rho=0.05, t_steps=mega_chunk,
+            num_samples=4, seed=0, precision=jax.lax.Precision.DEFAULT,
         )
         float(st.pgm_nat.dir_nat[0])
         times = []
-        for i in range(n_chunks):
+        for i in range(mega_reps):
             t0 = time.perf_counter()
             st, mets = tsp.train_chunk(
-                st, prior, x, lr=1e-3, rho=0.05, t_steps=chunk,
+                st, prior, x, lr=1e-3, rho=0.05, t_steps=mega_chunk,
                 num_samples=4, seed=1 + i,
                 precision=jax.lax.Precision.DEFAULT,
             )
@@ -93,7 +96,7 @@ def main() -> None:
         times.sort()
         final = float(mets["neg_loss"][-1])
         assert final == final, "NaN loss in megakernel benchmark"
-        return chunk / times[len(times) // 2]
+        return mega_chunk / times[len(times) // 2]
 
     def run_xla_scan():
         step = svae_step.make_train_step(config, prior, opt, rho=0.05)
