@@ -47,7 +47,8 @@ def analyze(name: str, k: int, d: int, s: int, hidden, batch: int,
             chunk: int = 20, n_chunks: int = 4, remat: bool = False,
             precision: str = "high", fused_decoder: bool = False,
             compute_dtype: str = "float32", recon_mode: str = "weighted",
-            fused_combine: bool = False, fused_mlp_decoder: bool = False):
+            fused_combine: bool = False, fused_mlp_decoder: bool = False,
+            kernel_rng: bool = False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -72,7 +73,7 @@ def analyze(name: str, k: int, d: int, s: int, hidden, batch: int,
         num_total=batch, nn_precision=prec, remat_combine=remat,
         fused_decoder=fused_decoder, nn_compute_dtype=compute_dtype,
         recon_mode=recon_mode, fused_combine=fused_combine,
-        fused_mlp_decoder=fused_mlp_decoder,
+        fused_mlp_decoder=fused_mlp_decoder, kernel_rng=kernel_rng,
     )
     rng = np.random.default_rng(0)
     x = jnp.asarray(
@@ -179,6 +180,10 @@ def main() -> None:
     p.add_argument("--precision", choices=["highest", "high", "default"],
                    default="high")
     p.add_argument("--fused-mlp-decoder", action="store_true")
+    p.add_argument("--kernel-rng", action="store_true",
+                   help="generate eps inside the fused combine kernel "
+                        "(hardware PRNG; drops the threefry op + HBM "
+                        "round-trip)")
     p.add_argument("--fused-combine", action="store_true",
                    help="route the SIN combine through the fused Pallas "
                         "kernel (svax.ops.combine_pallas)")
@@ -197,14 +202,16 @@ def main() -> None:
                 fused_decoder=args.fused_decoder,
                 compute_dtype=args.compute_dtype,
                 fused_combine=args.fused_combine,
-                fused_mlp_decoder=args.fused_mlp_decoder)
+                fused_mlp_decoder=args.fused_mlp_decoder,
+                kernel_rng=args.kernel_rng)
     if args.config in ("mnist", "both"):
         analyze("mnist-svae", k=10, d=8, s=1, hidden=(200, 200), batch=256,
                 chunk=200, remat=args.remat, precision=args.precision,
                 fused_decoder=args.fused_decoder,
                 compute_dtype=args.compute_dtype,
                 fused_combine=args.fused_combine,
-                fused_mlp_decoder=args.fused_mlp_decoder)
+                fused_mlp_decoder=args.fused_mlp_decoder,
+                kernel_rng=args.kernel_rng)
 
 
 if __name__ == "__main__":

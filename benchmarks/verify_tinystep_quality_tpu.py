@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""HW quality contract for the tinystep megakernel's in-kernel PRNG.
+
+The megakernel's Box-Muller recipe was fixed in round 3 (prng_random_bits
+returns SIGNED int32; the old arithmetic >>8 folded half the stream
+negative and the u1 clamp spiked eps to |7.4|, std 3.85 - caught by the
+combine kernel's eps-recovery HW test). The throughput numbers are
+eps-distribution-independent, but the QUALITY claim in BASELINE.md
+(15k-step IW parity with the XLA/threefry path) is not - this script
+re-pins it on hardware after the fix.
+
+Trains the headline pinwheel config 15k steps entirely in the megakernel
+(15 x 1000-step launches) at both MXU precisions and reports IW-100
+test log-lik per point next to the XLA-path reference band
+(BASELINE.md seed-sweep recipe, seed-0 draw: -5.38-class numbers).
+
+Run on TPU:  python benchmarks/verify_tinystep_quality_tpu.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/svax-jax-cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    import optax
+
+    from svax.data import load_pinwheel
+    from svax.models import evaluation
+    from svax.models.svae import SvaeConfig
+    from svax.ops import tinystep_pallas as tsp
+    from svax.pgm import gmm
+    from svax.train import svae_step
+
+    assert jax.default_backend() == "tpu", "HW quality check needs the TPU"
+
+    train, test = load_pinwheel(seed=0)
+    x = jnp.asarray(train, jnp.float32)
+    xt = jnp.asarray(test, jnp.float32)
+    n = x.shape[0]
+    k, s, lr, rho = 10, 4, 1e-3, 0.05
+    config = SvaeConfig(latent_dim=2, num_components=k, num_samples=s,
+                        num_total=n)
+    prior = jax.tree.map(lambda a: a.astype(jnp.float32),
+                         gmm.make_prior(k, 2, kappa=0.05))
+    opt = optax.adam(lr)
+
+    iw_eval = jax.jit(
+        lambda nn, nat, key: jnp.mean(evaluation.svae_iw_loglik(
+            nn, nat, xt, key, config, num_samples=100)))
+
+    out = {}
+    for name, prec in (("default", jax.lax.Precision.DEFAULT),
+                       ("highest", jax.lax.Precision.HIGHEST)):
+        st = svae_step.init_state(jax.random.PRNGKey(0), 2, config, prior,
+                                  opt, (50, 50), (50, 50), data=x)
+        st = jax.tree.map(
+            lambda a: a.astype(jnp.float32)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, st)
+        t0 = time.perf_counter()
+        for i in range(15):
+            st, mets = tsp.train_chunk(st, prior, x, lr=lr, rho=rho,
+                                       t_steps=1000, num_samples=s,
+                                       seed=i, precision=prec)
+        jax.block_until_ready(st.pgm_nat.dir_nat)
+        nl = float(mets["neg_loss"][-1])
+        iw = float(iw_eval(st.nn_params, st.pgm_nat, jax.random.PRNGKey(99)))
+        out[name] = {"final_neg_loss": round(nl, 4),
+                     "iw_per_point": round(iw, 4),
+                     "wall_s": round(time.perf_counter() - t0, 1)}
+        assert nl == nl, "NaN in megakernel training"
+
+    # The XLA-path seed-0 IW on this draw is -5.38-class (BASELINE.md);
+    # require the megakernel to land in the same class (generous band:
+    # single-seed runs scatter ~0.6, BASELINE.md seed table).
+    out["ok"] = all(v["iw_per_point"] > -6.5 for v in out.values() if
+                    isinstance(v, dict))
+    print(json.dumps(out), flush=True)
+    assert out["ok"], out
+
+
+if __name__ == "__main__":
+    main()

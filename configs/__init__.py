@@ -115,6 +115,11 @@ CONFIGS: dict[str, dict] = {
         # kernels (combine + decoder) with no N·K-sized HBM intermediates
         # anywhere. Supersedes remat_decoder (nothing is stored anyway).
         fused_mlp_decoder=True,
+        # In-kernel hardware-PRNG ε (round 3): drops the threefry op and
+        # the (S, N, K, d) HBM round-trip — 2.41 vs 2.51 ms/step marginal.
+        # HW contract: benchmarks/verify_kernel_rng_tpu.py (ε-recovery,
+        # determinism, grad parity to 1e-7).
+        kernel_rng=True,
     ),
 }
 

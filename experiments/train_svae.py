@@ -103,6 +103,11 @@ def main() -> None:
                    help="route the SIN combine + local KL + sampling + "
                         "sufficient statistics through the fused Pallas "
                         "kernel (TPU only; big-K bandwidth win)")
+    p.add_argument("--kernel-rng", action="store_true",
+                   help="with --fused-combine: generate eps inside the "
+                        "kernel via the hardware PRNG (drops the threefry "
+                        "op + HBM round-trip; different random stream "
+                        "than jax.random)")
     p.add_argument("--recon-mode", choices=["weighted", "sampled"],
                    default="weighted",
                    help="recon estimator: 'weighted' decodes all K "
@@ -177,6 +182,7 @@ def main() -> None:
         fused_combine=args.fused_combine,
         remat_decoder=args.remat_decoder,
         fused_mlp_decoder=args.fused_mlp_decoder,
+        kernel_rng=args.kernel_rng,
     )
     model = svae_mod_select(args.smm_dof)
     prior = gmm.make_prior(

@@ -105,6 +105,14 @@ class SvaeConfig(NamedTuple):
     # gradients matching XLA to ~2e-5. No-op off-TPU; requires
     # recon_mode="weighted" and no component sharding.
     fused_combine: bool = False
+    # With fused_combine: generate ε inside the kernel with the hardware
+    # PRNG (Box–Muller, the tinystep-megakernel recipe) instead of a
+    # threefry op + (S, N, K, d) HBM round-trip — measured 0.28 ms of the
+    # 2.5 ms bigk step. Different random stream than jax.random (same
+    # distribution); ignored when eps is injected or in interpret mode
+    # (no CPU lowering for the PRNG primitives). HW parity pinned by the
+    # ε-recovery test in benchmarks/verify_kernel_rng_tpu.py.
+    kernel_rng: bool = False
     # Reconstruction estimator. "weighted" (default, reference-matching):
     # decode S samples for EVERY component, Σ_k r̃·E[log p(x|z_k)] — exact
     # in k, S·N·K decoder rows. "sampled": draw k̂ ~ Cat(r̃) per (s, n) and
@@ -396,12 +404,22 @@ def forward(
 
         # K under axis_comp is this shard's slice; eps matches it.
         k_here = exp.log_pi.shape[0]
+        seed = None
         if eps is None:
-            eps = jax.random.normal(
-                key,
-                (config.num_samples, n, k_here, config.latent_dim),
-                dtype=jnp.float32,
-            )
+            if config.kernel_rng and not _COMBINE_INTERPRET:
+                # In-kernel hardware PRNG: skip the threefry op and the
+                # (S, N, K, d) HBM round-trip (0.28 ms of the 2.5 ms bigk
+                # step). ε never exists outside VMEM; the key folds to an
+                # int32 seed.
+                seed = jax.random.randint(
+                    key, (1,), 0, 2**31 - 1, dtype=jnp.int32
+                )
+            else:
+                eps = jax.random.normal(
+                    key,
+                    (config.num_samples, n, k_here, config.latent_dim),
+                    dtype=jnp.float32,
+                )
         if axis_comp is None:
             log_norm = None
         else:
@@ -420,7 +438,7 @@ def forward(
             log_norm = gmm.lse_over_components(log_rho, axis_comp)
         z, log_resp, mean, local_n, stats = combine_pallas.combine_fused(
             pot_h, pot_p, exp, eps, config.num_samples, scale=scale,
-            interpret=_COMBINE_INTERPRET, log_norm=log_norm,
+            interpret=_COMBINE_INTERPRET, log_norm=log_norm, seed=seed,
         )
         resp = jnp.exp(log_resp)
         loglik = _weighted_loglik_fn(config)(nn_params["decoder"], z, x, config)

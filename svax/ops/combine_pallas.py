@@ -236,6 +236,37 @@ def w_lanes(d: int) -> int:
     return _round_up(3 + d + d * d, 128)
 
 
+def _tile_prng_normals(seed_ref, base: int, m: int, rows: int, chunk: int):
+    """In-kernel ε ~ N(0,1): hardware PRNG + Box–Muller (24-bit mantissa).
+
+    Bits are generated in ``chunk``-lane sub-blocks, each seeded
+    (seed, absolute-sub-block-index), so a backward kernel running at
+    tile width == ``chunk`` regenerates EXACTLY the forward's bits for
+    its columns regardless of the forward tile width (the fwd/bwd grids
+    only agree on n_pad). Same recipe as the tinystep megakernel
+    (measured IW-quality parity with threefry ε, BASELINE.md).
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    subs = []
+    mask24 = jnp.int32(0x00FFFFFF)
+    for j in range(m):
+        pltpu.prng_seed(seed_ref[0], base + j)
+        b1 = pltpu.prng_random_bits((rows, chunk))
+        b2 = pltpu.prng_random_bits((rows, chunk))
+        # prng_random_bits returns SIGNED int32 — mask the low 24 bits
+        # (an arithmetic >> would fold half the stream negative; measured
+        # ε std 3.85 from the clamp spikes before this fix). +0.5 keeps
+        # u1 strictly inside (0, 1): no log(0), no clamp.
+        u1 = ((b1 & mask24).astype(jnp.float32) + 0.5) * (1.0 / 16777216.0)
+        u2 = (b2 & mask24).astype(jnp.float32) * (1.0 / 16777216.0)
+        subs.append(
+            jnp.sqrt(-2.0 * jnp.log(u1))
+            * jnp.cos(jnp.float32(6.283185307179586) * u2)
+        )
+    return jnp.concatenate(subs, axis=1) if m > 1 else subs[0]
+
+
 # ------------------------------------------------------------ pallas calls
 
 
@@ -347,10 +378,11 @@ _rho_core.defvjp(_rho_core_fwd, _rho_core_bwd)
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tile", "d", "s", "k", "k_pad", "interpret", "use_norm"),
+    static_argnames=("tile", "d", "s", "k", "k_pad", "interpret", "use_norm",
+                     "gen_eps", "gen_chunk"),
 )
 def _fwd_call(ph_t, pp_t, w, eps_t, mask, norm_t, *, tile, d, s, k, k_pad,
-              interpret, use_norm=False):
+              interpret, use_norm=False, gen_eps=False, gen_chunk=128):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -361,8 +393,17 @@ def _fwd_call(ph_t, pp_t, w, eps_t, mask, norm_t, *, tile, d, s, k, k_pad,
     def kernel(ph_ref, pp_ref, w_ref, eps_ref, mask_ref, norm_ref,
                z_ref, lr_ref, mu_ref, local_ref, stats_ref):
         i = pl.program_id(0)
+        if gen_eps:
+            # eps_ref is the SMEM seed; bits regenerate per gen_chunk
+            # columns (see _tile_prng_normals).
+            m = tile // gen_chunk
+            eps_v = _tile_prng_normals(
+                eps_ref, i * m, m, s * d * k_pad, gen_chunk
+            )
+        else:
+            eps_v = eps_ref[:]
         z, log_resp, mu, local, block = _tile_math(
-            ph_ref[:], pp_ref[:], w_ref[:], eps_ref[:], mask_ref[0:1, :],
+            ph_ref[:], pp_ref[:], w_ref[:], eps_v, mask_ref[0:1, :],
             d=d, s=s, k=k, k_pad=k_pad,
             norm=norm_ref[0:1, :] if use_norm else None,
         )
@@ -381,6 +422,11 @@ def _fwd_call(ph_t, pp_t, w, eps_t, mask, norm_t, *, tile, d, s, k, k_pad,
             stats_ref[:] = stats_ref[:] + block
 
     sd = s * d
+    eps_spec = (
+        pl.BlockSpec(memory_space=pltpu.SMEM) if gen_eps
+        else pl.BlockSpec((sd * k_pad, tile), lambda i: (0, i),
+                          memory_space=pltpu.VMEM)
+    )
     z_t, lr_t, mu_t, local_t, stats = pl.pallas_call(
         kernel,
         grid=grid,
@@ -392,8 +438,7 @@ def _fwd_call(ph_t, pp_t, w, eps_t, mask, norm_t, *, tile, d, s, k, k_pad,
             pl.BlockSpec((d, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((k_pad, w.shape[-1]), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((sd * k_pad, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
+            eps_spec,
             pl.BlockSpec((8, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
@@ -422,11 +467,12 @@ def _fwd_call(ph_t, pp_t, w, eps_t, mask, norm_t, *, tile, d, s, k, k_pad,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tile", "d", "s", "k", "k_pad", "interpret", "use_norm"),
+    static_argnames=("tile", "d", "s", "k", "k_pad", "interpret", "use_norm",
+                     "gen_eps"),
 )
 def _bwd_call(ph_t, pp_t, w, eps_t, mask, norm_t, dz_t, dlr_t, dmu_t,
               dlocal_t, dstats, *, tile, d, s, k, k_pad, interpret,
-              use_norm=False):
+              use_norm=False, gen_eps=False):
     """Recompute-backward via TWO Pallas kernels (cotangent linearity).
 
     jax.vjp of the whole tile in one kernel holds every forward slot AND
@@ -494,7 +540,13 @@ def _bwd_call(ph_t, pp_t, w, eps_t, mask, norm_t, dz_t, dlr_t, dmu_t,
             (ph_ref, pp_ref, w_ref, eps_ref, dz_ref, dlr_ref, dmu_ref,
              dph_ref, dpp_ref, dw_ref) = refs
         i = pl.program_id(0)
-        eps_v = eps_ref[:]
+        if gen_eps:
+            # Regenerate the forward's exact bits: this kernel runs at
+            # tile == gen_chunk granularity, so the absolute sub-block
+            # index is just the program id.
+            eps_v = _tile_prng_normals(eps_ref, i, 1, s * d * k_pad, tile)
+        else:
+            eps_v = eps_ref[:]
 
         if use_norm:
             def f(ph, pp, wv, nrm):
@@ -522,12 +574,15 @@ def _bwd_call(ph_t, pp_t, w, eps_t, mask, norm_t, dz_t, dlr_t, dmu_t,
         accumulate(i, dw_ref, dw)
 
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    dz_spec = eps_spec  # (S·d·K_pad, tile) — the z-cotangent block
+    if gen_eps:
+        eps_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     in_specs_zlr = [pot_spec, pot_spec, w_spec, eps_spec]
     ins_zlr = [ph_t, pp_t, w, eps_t]
     if use_norm:
         in_specs_zlr += [row8_spec]
         ins_zlr += [norm_t]
-    in_specs_zlr += [eps_spec, kt_spec, mu_spec]
+    in_specs_zlr += [dz_spec, kt_spec, mu_spec]
     ins_zlr += [dz_t, dlr_t, dmu_t]
     out1 = pl.pallas_call(
         kernel_zlr,
@@ -601,25 +656,30 @@ def _bwd_call(ph_t, pp_t, w, eps_t, mask, norm_t, dz_t, dlr_t, dmu_t,
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13)
+    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14)
 )
 def _fused_core(ph_t, pp_t, w, eps_t, mask, norm_t, tile, tile_bwd, d, s, k,
-                k_pad, interpret, use_norm):
+                k_pad, interpret, use_norm, gen_eps=False):
+    # gen_eps: eps_t is an int32 (1,) SMEM seed; ε is generated in-kernel
+    # at tile_bwd-column granularity (forward AND backward regenerate the
+    # same bits — see _tile_prng_normals).
     return _fwd_call(ph_t, pp_t, w, eps_t, mask, norm_t,
                      tile=tile, d=d, s=s, k=k, k_pad=k_pad,
-                     interpret=interpret, use_norm=use_norm)
+                     interpret=interpret, use_norm=use_norm,
+                     gen_eps=gen_eps, gen_chunk=tile_bwd)
 
 
 def _fused_core_fwd(ph_t, pp_t, w, eps_t, mask, norm_t, tile, tile_bwd, d, s,
-                    k, k_pad, interpret, use_norm):
+                    k, k_pad, interpret, use_norm, gen_eps=False):
     out = _fwd_call(ph_t, pp_t, w, eps_t, mask, norm_t,
                     tile=tile, d=d, s=s, k=k, k_pad=k_pad,
-                    interpret=interpret, use_norm=use_norm)
+                    interpret=interpret, use_norm=use_norm,
+                    gen_eps=gen_eps, gen_chunk=tile_bwd)
     return out, (ph_t, pp_t, w, eps_t, mask, norm_t)
 
 
 def _fused_core_bwd(tile, tile_bwd, d, s, k, k_pad, interpret, use_norm,
-                    res, cts):
+                    gen_eps, res, cts):
     # The recompute backward holds ~2× the forward's live VMEM set (every
     # forward slot plus its cotangent), so it runs at its own smaller tile.
     ph_t, pp_t, w, eps_t, mask, norm_t = res
@@ -627,7 +687,7 @@ def _fused_core_bwd(tile, tile_bwd, d, s, k, k_pad, interpret, use_norm,
     grads = _bwd_call(
         ph_t, pp_t, w, eps_t, mask, norm_t, dz_t, dlr_t, dmu_t, dlocal_t,
         dstats, tile=tile_bwd, d=d, s=s, k=k, k_pad=k_pad,
-        interpret=interpret, use_norm=use_norm,
+        interpret=interpret, use_norm=use_norm, gen_eps=gen_eps,
     )
     if use_norm:
         dph_t, dpp_t, dw, dn = grads
@@ -694,13 +754,14 @@ def combine_fused(
     pot_h: jnp.ndarray,
     pot_p: jnp.ndarray,
     exp: GmmExpected,
-    eps: jnp.ndarray,
+    eps: jnp.ndarray | None,
     num_samples: int,
     scale=1.0,
     tile: int = 128,
     tile_bwd: int = 128,
     interpret: bool = False,
     log_norm: jnp.ndarray | None = None,
+    seed: jnp.ndarray | None = None,
 ):
     """Fused combine+KL+sampling+stats. Differentiable (custom VJP).
 
@@ -708,6 +769,15 @@ def combine_fused(
     normals. Returns (z (S, N, K, d), log_resp (N, K), mean (N, K, d),
     local (N,), GmmSuffStats scaled by ``scale``) — exactly the pieces
     svae.forward consumes; chol/cov/ezz never leave the kernel.
+
+    ``eps=None`` with ``seed`` (int32 scalar/(1,) array): ε is generated
+    IN-KERNEL by the hardware PRNG (Box–Muller, same recipe as the
+    tinystep megakernel), removing the threefry op and the (S, N, K, d)
+    HBM round-trip — measured 0.28 ms/step of the 2.5 ms bigk step.
+    Forward and recompute-backward regenerate identical bits per
+    tile_bwd-column sub-block. TPU-only (the interpreter has no PRNG
+    lowering); ε is not returned — recover it as L̃ᵀ(z − μ̃) if needed
+    (that identity is how the HW parity test pins this path).
 
     ``log_norm`` (N,): externally-computed log-normalizer for component
     parallelism (see ``log_rho_fused``); responsibilities become
@@ -732,12 +802,17 @@ def combine_fused(
     pp_t = jnp.ones((d, n_pad), jnp.float32).at[:, :n].set(
         pot_p.astype(jnp.float32).T)
     w = pack_expected(exp, k_pad)
-    # eps (S, N, K, d) → row blocks [(s·d + i)·K_pad + k] on (n) lanes.
-    e_r = jnp.transpose(eps.astype(jnp.float32), (0, 3, 2, 1))  # (S,d,K,N)
-    e_r = jnp.pad(e_r, ((0, 0), (0, 0), (0, k_pad - k), (0, 0)))
-    eps_t = jnp.pad(
-        e_r.reshape(s * d * k_pad, n), ((0, 0), (0, n_pad - n))
-    )
+    gen_eps = eps is None
+    if gen_eps:
+        assert seed is not None, "combine_fused: eps=None requires seed"
+        eps_t = jnp.asarray(seed, jnp.int32).reshape((1,))
+    else:
+        # eps (S, N, K, d) → row blocks [(s·d + i)·K_pad + k] on (n) lanes.
+        e_r = jnp.transpose(eps.astype(jnp.float32), (0, 3, 2, 1))
+        e_r = jnp.pad(e_r, ((0, 0), (0, 0), (0, k_pad - k), (0, 0)))
+        eps_t = jnp.pad(
+            e_r.reshape(s * d * k_pad, n), ((0, 0), (0, n_pad - n))
+        )
     mask = jnp.zeros((8, n_pad), jnp.float32).at[:, :n].set(1.0)
 
     use_norm = log_norm is not None
@@ -752,7 +827,7 @@ def combine_fused(
 
     z_t, lr_t, mu_t, local_t, stats = _fused_core(
         ph_t, pp_t, w, eps_t, mask, norm_t, tile, tile_bwd, d, s, k, k_pad,
-        interpret, use_norm
+        interpret, use_norm, gen_eps
     )
 
     z = z_t.reshape(s, d, k_pad, n_pad)[:, :, :k, :n]

@@ -350,10 +350,16 @@ def _make_kernel(*, geom, lr, rho, t_steps, use_rng):
             shape = (s * 2 * k_pad, n_pad)
             b1 = pltpu.prng_random_bits(shape)
             b2 = pltpu.prng_random_bits(shape)
-            # uint32 → U(0,1): keep 24 high bits for a clean mantissa.
-            u1 = (b1 >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
-            u2 = (b2 >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
-            u1 = jnp.maximum(u1, 1e-12)
+            # prng_random_bits returns SIGNED int32 — mask the low 24
+            # bits for U(0,1) (an arithmetic >> folds half the stream
+            # negative: the clamp then spiked ε to ±7.4 with std 3.85,
+            # caught by the combine-kernel ε-recovery HW test). +0.5
+            # keeps u1 strictly inside (0, 1).
+            mask24 = jnp.int32(0x00FFFFFF)
+            u1 = ((b1 & mask24).astype(jnp.float32) + 0.5) * (
+                1.0 / 16777216.0
+            )
+            u2 = (b2 & mask24).astype(jnp.float32) * (1.0 / 16777216.0)
             eps = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(
                 (2.0 * np.pi) * u2
             )
