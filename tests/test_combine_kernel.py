@@ -182,6 +182,42 @@ def test_forward_integration_fused_combine(monkeypatch):
                            gmm.expected_params(nat))
 
 
+def test_combine_fused_seed_mode_requires_seed():
+    """eps=None without a seed must fail loudly (the kernel_rng contract),
+    and eps=None in interpret mode must fail rather than silently emit
+    garbage (the TPU PRNG primitives have no CPU lowering)."""
+    n, k, d, s = 32, 4, 2, 1
+    pot_h, pot_p, exp, _ = _inputs(n, k, d, s, seed=3)
+    with pytest.raises(AssertionError, match="seed"):
+        cp.combine_fused(pot_h, pot_p, exp, None, s, interpret=True)
+
+
+def test_kernel_rng_gates_to_threefry_off_tpu(monkeypatch):
+    """SvaeConfig.kernel_rng is a TPU-only fast path: under the interpret
+    hook (the CPU/CI stand-in) svae.forward must fall back to threefry ε
+    and reproduce kernel_rng=False bit-for-bit, so configs pinning
+    kernel_rng=True (bigk-dp) stay portable."""
+    from svax.models.svae import SvaeConfig
+
+    monkeypatch.setattr(svae, "_COMBINE_INTERPRET", True)
+    n, k, d, s, d_in = 40, 5, 2, 2, 2
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal((n, d_in)).astype(np.float32))
+    config = SvaeConfig(latent_dim=d, num_components=k, num_samples=s,
+                        num_total=n, fused_combine=True)
+    key = jax.random.PRNGKey(0)
+    prior = gmm.make_prior(k, d)
+    f32 = lambda t: jax.tree.map(lambda p: p.astype(jnp.float32), t)  # noqa: E731
+    nn = f32(svae.init_params(key, d_in, config, (16,), (16,)))
+    nat = f32(gmm.init_variational(key, prior))
+    prior = f32(prior)
+
+    out_off = svae.forward(nn, nat, prior, x, key, config)
+    out_on = svae.forward(nn, nat, prior, x, key,
+                          config._replace(kernel_rng=True))
+    assert float(out_on.elbo) == float(out_off.elbo)
+
+
 def test_fused_combine_external_norm_matches_local_softmax():
     """log_norm = lse(log ρ) from the ρ-kernel reproduces the in-kernel
     softmax path exactly — values AND gradients (the flash-softmax
