@@ -83,6 +83,11 @@ CONFIGS: dict[str, dict] = {
         # Fused SIN-combine Pallas kernel: 0.305 vs 0.395 ms/step measured
         # (3274 steps/s) on top of the bf16 decoder.
         fused_combine=True,
+        # In-kernel hardware-PRNG ε: at this op-count-sensitive scale the
+        # threefry dispatches + eps pack/round-trip cost more than at bigk
+        # — 0.148 vs 0.232 ms/step same-session A/B (a slow-tunnel day;
+        # the ratio, not the absolutes, is the datum — BASELINE.md).
+        kernel_rng=True,
     ),
     # BASELINE config #5 — large-K high-dim latent with DP psum over ICI
     "bigk-dp": dict(
