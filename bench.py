@@ -118,9 +118,18 @@ def main() -> None:
         assert final_elbo == final_elbo, "NaN ELBO in benchmark run"
         return chunk / times[len(times) // 2]
 
+    engine = "megakernel"
     try:
         steps_per_sec = run_megakernel()
     except Exception:
+        # Loud fallback: a megakernel failure must not masquerade as the
+        # headline number — the traceback goes to stderr (the driver reads
+        # the single stdout JSON line) and the engine field says which
+        # path produced the value.
+        import traceback
+
+        traceback.print_exc()
+        engine = "xla-scan-fallback"
         steps_per_sec = run_xla_scan()
     print(
         json.dumps(
@@ -129,6 +138,7 @@ def main() -> None:
                 "value": round(steps_per_sec, 2),
                 "unit": "steps/s",
                 "vs_baseline": round(steps_per_sec / BASELINE_CPU_STEPS_PER_SEC, 2),
+                "engine": engine,
             }
         )
     )

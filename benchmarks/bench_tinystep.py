@@ -139,7 +139,8 @@ def main() -> None:
     st, mets = tsp.train_chunk(state, prior, x, lr=lr, rho=rho,
                                t_steps=t_steps, num_samples=s, seed=1,
                                precision=prec)
-    jax.block_until_ready(st.pgm_nat.dir_nat)
+    float(st.pgm_nat.dir_nat[0])  # host-read sync: block_until_ready can
+    #                               return early through the remote tunnel
     print(f"[tput] compile+first chunk: {time.perf_counter()-t0:.1f}s  "
           f"neg_loss[0]={float(mets['neg_loss'][0]):.4f} "
           f"neg_loss[-1]={float(mets['neg_loss'][-1]):.4f}")
@@ -150,7 +151,7 @@ def main() -> None:
         st, mets = tsp.train_chunk(st, prior, x, lr=lr, rho=rho,
                                    t_steps=t_steps, num_samples=s,
                                    seed=2 + i, precision=prec)
-        jax.block_until_ready(st.pgm_nat.dir_nat)
+        float(st.pgm_nat.dir_nat[0])  # host-read sync (see above)
         times.append(time.perf_counter() - t0)
     times.sort()
     dt = times[len(times) // 2]

@@ -135,6 +135,14 @@ def analyze(name: str, k: int, d: int, s: int, hidden, batch: int,
     t1, _ = _median_time(chunk)
     t2, m = _median_time(2 * chunk)
     dt = (t2 - t1) / chunk
+    timing_suspect = False
+    if dt <= 0.0:
+        # Tunnel-RTT jitter swamped the pairing (t2 ≤ t1 would yield a
+        # nonsensical negative per-step time, negative TFLOPs, and a
+        # bogus roofline verdict). Fall back to the conservative
+        # single-chunk rate and say so in the JSON.
+        timing_suspect = True
+        dt = t1 / chunk
 
     peak_flops, peak_hbm, kind = _chip_peaks()
     tflops = flops / dt
@@ -157,6 +165,7 @@ def analyze(name: str, k: int, d: int, s: int, hidden, batch: int,
         "arith_intensity_flops_per_byte": round(intensity, 1),
         "ridge_point": round(ridge, 1),
         "bound": "compute" if intensity > ridge else "memory",
+        "timing_suspect": timing_suspect,
         "flops_source": flops_src,
         "remat": remat,
         "fused_decoder": fused_decoder,

@@ -84,7 +84,7 @@ def main() -> None:
     from svax.models.svae import SvaeConfig
     from svax.pgm import gmm, natgrad, smm
     from svax.train import svae_step
-    from svax.train.loop import make_scan_runner
+    from svax.train.loop import augment_step, make_scan_runner
 
     # ---- 1. Pretrain on the clean pinwheel (pinned headline recipe). ----
     train, test = load_pinwheel(seed=args.seed)
@@ -107,12 +107,7 @@ def main() -> None:
     )
     base_step = svae_step.make_train_step(config, prior, opt, rho=args.rho)
 
-    def aug_step(st, xb, k):
-        k1, k2 = jax.random.split(k)
-        xb = xb + args.aug_noise * jax.random.normal(k1, xb.shape, xb.dtype)
-        return base_step(st, xb, k2)
-
-    runner = make_scan_runner(aug_step if args.aug_noise > 0 else base_step,
+    runner = make_scan_runner(augment_step(base_step, args.aug_noise),
                               args.scan_chunk)
     k = key
     for i in range(max(args.pretrain_steps // args.scan_chunk, 1)):

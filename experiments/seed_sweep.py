@@ -75,7 +75,7 @@ def main() -> None:
     from svax.pgm import gmm
     from svax.pgm.init import init_variational_kmeanspp
     from svax.train import svae_step
-    from svax.train.loop import make_scan_runner
+    from svax.train.loop import augment_step, make_scan_runner
 
     def draw(seed):
         train, test = load_pinwheel(seed=seed)
@@ -148,14 +148,17 @@ def main() -> None:
         v_opt = optax.adamw(lr, weight_decay=wd) if wd > 0.0 else opt
         base_step = svae_step.make_train_step(config, prior, v_opt,
                                               rho=make_rho(use_warm))
-        if aug > 0.0:
-            def step(state, xb, key, _s=base_step, _a=aug):
-                k1, k2 = jax.random.split(key)
-                noisy = xb + _a * jax.random.normal(k1, xb.shape, xb.dtype)
-                return _s(state, noisy, k2)
-        else:
-            step = base_step
-        runner = make_scan_runner(step, args.chunk)
+        step = augment_step(base_step, aug)
+        # Clamp the scan chunk to the variant's step budget (a steps500
+        # variant under the default --chunk 1000 would otherwise run ZERO
+        # chunks and hit `metrics` unbound) and refuse silent truncation.
+        v_chunk = min(args.chunk, v_steps)
+        if v_steps % v_chunk:
+            raise SystemExit(
+                f"variant {variant!r}: steps {v_steps} is not a multiple "
+                f"of chunk {v_chunk} — the remainder would be dropped"
+            )
+        runner = make_scan_runner(step, v_chunk)
         rows = []
         for seed in range(args.num_seeds):
             if args.redraw_data:
@@ -172,7 +175,7 @@ def main() -> None:
                     state = state._replace(pgm_nat=init_variational_kmeanspp(
                         prior, np.asarray(train), seed=seed + 1000 * r))
                 kk = key
-                for c in range(v_steps // args.chunk):
+                for c in range(v_steps // v_chunk):
                     kk = jax.random.fold_in(kk, c)
                     state, metrics = runner(state, x, kk)
                 # Restart selection by TRAIN-side ELBO only (no test leak).

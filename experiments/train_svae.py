@@ -23,20 +23,6 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def _augment(step, sigma: float):
-    """Wrap a train step with input-noise augmentation (sigma = 0: no-op)."""
-    if sigma <= 0.0:
-        return step
-
-    def wrapped(state, xb, key):
-        import jax as _jax
-
-        k1, k2 = _jax.random.split(key)
-        return step(state, xb + sigma * _jax.random.normal(k1, xb.shape, xb.dtype), k2)
-
-    return wrapped
-
-
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", choices=["pinwheel-svae", "auto-svae", "mnist-svae", "bigk-dp"], default="")
@@ -154,6 +140,7 @@ def main() -> None:
         return svae
     from svax.pgm import gmm
     from svax.train import svae_step
+    from svax.train.loop import augment_step
 
     train, test, meta = load_dataset(args.dataset, seed=args.seed)
     likelihood = meta["likelihood"]
@@ -233,7 +220,7 @@ def main() -> None:
             dmesh,
         )
     else:
-        step = jax.jit(_augment(svae_step.make_train_step(
+        step = jax.jit(augment_step(svae_step.make_train_step(
             config, prior, opt, rho, model=model), args.aug_noise))
     evaluate = jax.jit(svae_step.make_eval_fn(config, prior, model=model))
 
@@ -274,7 +261,7 @@ def main() -> None:
     if args.scan_chunk > 0 and not args.dp:
         from svax.train.loop import make_minibatch_scan_runner, make_scan_runner
 
-        raw_step = _augment(
+        raw_step = augment_step(
             svae_step.make_train_step(config, prior, opt, rho, model=model),
             args.aug_noise,
         )

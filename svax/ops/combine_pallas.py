@@ -236,22 +236,23 @@ def w_lanes(d: int) -> int:
     return _round_up(3 + d + d * d, 128)
 
 
-def _tile_prng_normals(seed_ref, base: int, m: int, rows: int, chunk: int):
+def _tile_prng_normals(seed, base, m: int, rows: int, chunk: int):
     """In-kernel ε ~ N(0,1): hardware PRNG + Box–Muller (24-bit mantissa).
 
-    Bits are generated in ``chunk``-lane sub-blocks, each seeded
+    ``seed`` is an int32 scalar already read out of SMEM. Bits are
+    generated in ``chunk``-lane sub-blocks, each seeded
     (seed, absolute-sub-block-index), so a backward kernel running at
     tile width == ``chunk`` regenerates EXACTLY the forward's bits for
     its columns regardless of the forward tile width (the fwd/bwd grids
-    only agree on n_pad). Same recipe as the tinystep megakernel
-    (measured IW-quality parity with threefry ε, BASELINE.md).
+    only agree on n_pad). The tinystep megakernel shares this helper
+    (one sub-block per train step, seeded (seed, step)).
     """
     from jax.experimental.pallas import tpu as pltpu
 
     subs = []
     mask24 = jnp.int32(0x00FFFFFF)
     for j in range(m):
-        pltpu.prng_seed(seed_ref[0], base + j)
+        pltpu.prng_seed(seed, base + j)
         b1 = pltpu.prng_random_bits((rows, chunk))
         b2 = pltpu.prng_random_bits((rows, chunk))
         # prng_random_bits returns SIGNED int32 — mask the low 24 bits
@@ -398,7 +399,7 @@ def _fwd_call(ph_t, pp_t, w, eps_t, mask, norm_t, *, tile, d, s, k, k_pad,
             # columns (see _tile_prng_normals).
             m = tile // gen_chunk
             eps_v = _tile_prng_normals(
-                eps_ref, i * m, m, s * d * k_pad, gen_chunk
+                eps_ref[0], i * m, m, s * d * k_pad, gen_chunk
             )
         else:
             eps_v = eps_ref[:]
@@ -544,7 +545,7 @@ def _bwd_call(ph_t, pp_t, w, eps_t, mask, norm_t, dz_t, dlr_t, dmu_t,
             # Regenerate the forward's exact bits: this kernel runs at
             # tile == gen_chunk granularity, so the absolute sub-block
             # index is just the program id.
-            eps_v = _tile_prng_normals(eps_ref, i, 1, s * d * k_pad, tile)
+            eps_v = _tile_prng_normals(eps_ref[0], i, 1, s * d * k_pad, tile)
         else:
             eps_v = eps_ref[:]
 
@@ -805,6 +806,9 @@ def combine_fused(
     gen_eps = eps is None
     if gen_eps:
         assert seed is not None, "combine_fused: eps=None requires seed"
+        # Seed mode leans on the tile % tile_bwd == 0 invariant asserted
+        # above: the forward generates bits in tile_bwd-lane sub-blocks so
+        # the backward (running at tile_bwd) regenerates them exactly.
         eps_t = jnp.asarray(seed, jnp.int32).reshape((1,))
     else:
         # eps (S, N, K, d) → row blocks [(s·d + i)·K_pad + k] on (n) lanes.

@@ -51,7 +51,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from svax.pgm.gmm import GmmNat
 from svax.expfam.niw import NiwNat
@@ -344,24 +343,13 @@ def _make_kernel(*, geom, lr, rho, t_steps, use_rng):
         ).astype(jnp.float32)
 
         if use_rng:
-            from jax.experimental.pallas import tpu as pltpu
+            # Shared Box–Muller recipe (24-bit mask of the SIGNED int32
+            # bits, +0.5 on u1 — the signed->>8 bug history lives on the
+            # helper): one sub-block per train step, seeded (seed, t).
+            from svax.ops.combine_pallas import _tile_prng_normals
 
-            pltpu.prng_seed(scal_ref[0, 1], t)
-            shape = (s * 2 * k_pad, n_pad)
-            b1 = pltpu.prng_random_bits(shape)
-            b2 = pltpu.prng_random_bits(shape)
-            # prng_random_bits returns SIGNED int32 — mask the low 24
-            # bits for U(0,1) (an arithmetic >> folds half the stream
-            # negative: the clamp then spiked ε to ±7.4 with std 3.85,
-            # caught by the combine-kernel ε-recovery HW test). +0.5
-            # keeps u1 strictly inside (0, 1).
-            mask24 = jnp.int32(0x00FFFFFF)
-            u1 = ((b1 & mask24).astype(jnp.float32) + 0.5) * (
-                1.0 / 16777216.0
-            )
-            u2 = (b2 & mask24).astype(jnp.float32) * (1.0 / 16777216.0)
-            eps = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(
-                (2.0 * np.pi) * u2
+            eps = _tile_prng_normals(
+                scal_ref[0, 1], t, 1, s * 2 * k_pad, n_pad
             )
         else:
             eps = eps_ref[:]
@@ -568,7 +556,9 @@ def pack_state(state, prior: GmmNat, x: jnp.ndarray, geom,
     """SvaeTrainState + data → the kernel's padded plane dict.
 
     ``eps`` (T, S, N, K, d) switches the kernel to injected noise (tests);
-    None uses the in-kernel hardware PRNG seeded by (seed, grid step).
+    None uses the in-kernel hardware PRNG seeded by (seed, grid step);
+    train_chunk folds state.step into the seed so consecutive chunks
+    never replay the same stream.
     """
     enc = state.nn_params["encoder"]
     dec = state.nn_params["decoder"]
@@ -714,6 +704,11 @@ def train_chunk(state, prior: GmmNat, x: jnp.ndarray, *, lr: float,
         k=k, s=eps.shape[1] if eps is not None else num_samples,
         num_total=x.shape[0], h1=h1, h2=h2, precision=precision,
     )
+    # Fold the step counter into the seed so back-to-back chunks with the
+    # same (default) seed draw DIFFERENT noise: the kernel seeds each
+    # step (seed, grid t) and t restarts at 0 every launch, which would
+    # otherwise replay bit-identical eps streams chunk after chunk.
+    seed = jnp.asarray(seed, jnp.int32) + state.step.astype(jnp.int32)
     return _train_chunk_jit(
         state, prior, x, seed, eps, _geom_key(geom), float(lr), float(rho),
         int(t_steps), interpret,

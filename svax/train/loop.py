@@ -40,6 +40,28 @@ def make_scan_runner(step: Callable, num_steps: int) -> Callable:
     return runner
 
 
+def augment_step(step: Callable, sigma: float) -> Callable:
+    """Wrap ``step(state, xb, key)`` with input-noise augmentation.
+
+    Each call splits the key and trains on ``xb + sigma·N(0, I)`` — the
+    seed-robustness recipe (BASELINE.md seed table). ``sigma <= 0``
+    returns ``step`` unchanged, so callers can wire the flag through
+    unconditionally. Single definition for every consumer
+    (train_svae CLI, seed_sweep, latent-contamination demo): the key
+    discipline — split BEFORE the step, noise from the first half — is
+    part of the recipe and must not drift between them.
+    """
+    if sigma <= 0.0:
+        return step
+
+    def wrapped(state, xb, key):
+        k1, k2 = jax.random.split(key)
+        return step(state, xb + sigma * jax.random.normal(k1, xb.shape,
+                                                          xb.dtype), k2)
+
+    return wrapped
+
+
 def make_minibatch_scan_runner(step: Callable, num_steps: int) -> Callable:
     """Scan over a precomputed (num_steps, M, D) stack of minibatches."""
 
