@@ -76,3 +76,32 @@ def test_viz_smoke(tmp_path):
     curve = tmp_path / "curve.png"
     viz.plot_training_curves(log, curve, keys=("elbo",))
     assert curve.exists()
+
+
+def test_augment_step_wrapper():
+    """augment_step: sigma<=0 is identity; sigma>0 perturbs inputs with
+    the split-before-step key discipline (the seed-robustness recipe —
+    one definition shared by train_svae/seed_sweep/the demo)."""
+    import jax
+
+    from svax.train.loop import augment_step
+
+    calls = []
+
+    def step(state, xb, key):
+        calls.append((xb, key))
+        return state, {"elbo": jnp.sum(xb)}
+
+    assert augment_step(step, 0.0) is step
+    assert augment_step(step, -1.0) is step
+
+    wrapped = augment_step(step, 0.5)
+    x = jnp.ones((7, 2))
+    key = jax.random.PRNGKey(3)
+    _, m = wrapped({}, x, key)
+    xb, k2 = calls[-1]
+    k1, k2_exp = jax.random.split(key)
+    assert jnp.array_equal(k2, k2_exp)
+    expected = x + 0.5 * jax.random.normal(k1, x.shape, x.dtype)
+    np.testing.assert_allclose(np.asarray(xb), np.asarray(expected))
+    assert float(jnp.max(jnp.abs(xb - x))) > 0.0
