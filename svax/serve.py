@@ -24,6 +24,15 @@ hard cluster), ``score`` (importance-weighted log-likelihood per point),
 ``reconstruct`` (decoder pass at the posterior mean), and ``generate``
 (sample the generative model). GMM- and SMM-prior (Student-t) SVAEs both
 serve; the plain VAE has its own lighter path via ``evaluation.vae_iw_loglik``.
+
+* **AOT export.** ``export_serving`` ahead-of-time lowers every
+  endpoint × bucket to serialized StableHLO (``jax.export``) with the
+  trained weights baked in as constants and BOTH cpu and tpu lowerings,
+  so ``load_exported`` can serve from the artifact directory alone — no
+  svax model code, no orbax, no re-trace — and the same artifact runs on
+  a TPU host or a CPU fallback box. This is the deployment tier below
+  bundles: bundles rebuild the (resumable) python model; exports are the
+  frozen, versionable thing you ship.
 """
 
 from __future__ import annotations
@@ -130,6 +139,46 @@ def load_bundle(directory: str | Path, buckets=_DEFAULT_BUCKETS) -> "SvaeServer"
     return SvaeServer(state.nn_params, state.pgm_nat, spec, buckets=buckets)
 
 
+def _pick_bucket(buckets, n: int) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+def _bucketed_dispatch(buckets, fn, x, *args):
+    """Pad to the bucket ladder; chunk requests above the top bucket.
+
+    Shared by the jit-backed ``SvaeServer`` and the AOT
+    ``ExportedServer`` — the batching contract (at most len(buckets)
+    executables per endpoint, padded rows computed-and-discarded, pure
+    dispatch at steady state) is identical for both tiers.
+    """
+    x = np.asarray(x, dtype=np.float32)
+    if x.ndim == 1:
+        x = x[None]
+    n = x.shape[0]
+    top = buckets[-1]
+    outs = []
+    for start in range(0, n, top):
+        piece = x[start : start + top]
+        m = piece.shape[0]
+        b = _pick_bucket(buckets, m)
+        if m < b:
+            piece = np.concatenate(
+                [piece, np.zeros((b - m,) + piece.shape[1:], piece.dtype)]
+            )
+        out = fn(jnp.asarray(piece), *args)
+        # One async-batched device→host fetch for the whole output tree:
+        # np.asarray per leaf would serialize a tunnel round trip per
+        # array (measured ~3x the latency on multi-output endpoints).
+        out = jax.device_get(out)
+        outs.append(jax.tree.map(lambda a: np.asarray(a)[:m], out))
+    if len(outs) == 1:
+        return outs[0]
+    return jax.tree.map(lambda *parts: np.concatenate(parts), *outs)
+
+
 class SvaeServer:
     """Batched, recompile-free inference over a trained (GMM|SMM)-SVAE.
 
@@ -201,40 +250,18 @@ class SvaeServer:
         self._encode = jax.jit(encode_fn)
         self._reconstruct = jax.jit(reconstruct_fn)
         self._score = jax.jit(score_fn, static_argnums=(2,))
+        # Unjitted endpoint bodies — export_serving re-wraps them with
+        # export-friendly signatures (seed scalar instead of a PRNG key).
+        self._raw_fns = {
+            "encode": encode_fn,
+            "reconstruct": reconstruct_fn,
+            "score": score_fn,
+        }
 
     # ------------------------------------------------------------- helpers
 
-    def _bucket(self, n: int) -> int:
-        for b in self._buckets:
-            if n <= b:
-                return b
-        return self._buckets[-1]
-
     def _batched(self, fn, x, *args):
-        """Pad to the bucket ladder; chunk requests above the top bucket."""
-        x = np.asarray(x, dtype=np.float32)
-        if x.ndim == 1:
-            x = x[None]
-        n = x.shape[0]
-        top = self._buckets[-1]
-        outs = []
-        for start in range(0, n, top):
-            piece = x[start : start + top]
-            m = piece.shape[0]
-            b = self._bucket(m)
-            if m < b:
-                piece = np.concatenate(
-                    [piece, np.zeros((b - m,) + piece.shape[1:], piece.dtype)]
-                )
-            out = fn(jnp.asarray(piece), *args)
-            # One async-batched device→host fetch for the whole output tree:
-            # np.asarray per leaf would serialize a tunnel round trip per
-            # array (measured ~3x the latency on multi-output endpoints).
-            out = jax.device_get(out)
-            outs.append(jax.tree.map(lambda a: np.asarray(a)[:m], out))
-        if len(outs) == 1:
-            return outs[0]
-        return jax.tree.map(lambda *parts: np.concatenate(parts), *outs)
+        return _bucketed_dispatch(self._buckets, fn, x, *args)
 
     # ----------------------------------------------------------- endpoints
 
@@ -268,3 +295,121 @@ class SvaeServer:
             self._nn, self._nat, key, num, self.config, sample_params=sample_params
         )
         return np.asarray(x), np.asarray(z), np.asarray(labels)
+
+
+# --------------------------------------------------------------- AOT export
+
+_EXPORT_MANIFEST = "exports.json"
+
+
+def export_serving(server: SvaeServer, directory: str | Path,
+                   buckets=None, score_samples: int = 100,
+                   platforms=("cpu", "tpu")) -> dict:
+    """Ahead-of-time lower every endpoint × bucket to serialized StableHLO.
+
+    Writes ``<endpoint>_<bucket>.stablehlo`` artifacts (``jax.export``
+    serialization: weights baked in as constants, lowered for every
+    platform in ``platforms``) plus a manifest, so ``load_exported`` can
+    serve WITHOUT the model code, the checkpoint, or a re-trace. ``score``
+    is exported at a fixed ``score_samples`` with an int32 seed input
+    (the PRNG key is built inside the artifact). ``generate`` is not
+    exported — its output shape is request-dependent; use a bundle.
+
+    Returns the manifest dict. Lowering is pure client-side (no device
+    needed for either platform), which is also why this works while the
+    TPU is busy training.
+    """
+    from jax import export as jexport
+
+    directory = Path(directory)
+    directory.mkdir(parents=True, exist_ok=True)
+    buckets = tuple(sorted(buckets or server._buckets))
+    d_in = server.spec.input_dim
+    score_fn = server._raw_fns["score"]
+
+    def score_seeded(x, seed):
+        return score_fn(x, jax.random.PRNGKey(seed), score_samples)
+
+    endpoints = {
+        "encode": (server._raw_fns["encode"], ()),
+        "reconstruct": (server._raw_fns["reconstruct"], ()),
+        "score": (score_seeded, (jax.ShapeDtypeStruct((), jnp.int32),)),
+    }
+    manifest = {
+        "input_dim": d_in,
+        "buckets": list(buckets),
+        "score_samples": score_samples,
+        "platforms": list(platforms),
+        "artifacts": {},
+    }
+    for name, (fn, extra_args) in endpoints.items():
+        jfn = jax.jit(fn)
+        files = {}
+        for b in buckets:
+            exp = jexport.export(jfn, platforms=list(platforms))(
+                jax.ShapeDtypeStruct((b, d_in), jnp.float32), *extra_args
+            )
+            fname = f"{name}_{b}.stablehlo"
+            (directory / fname).write_bytes(exp.serialize())
+            files[str(b)] = fname
+        manifest["artifacts"][name] = files
+    (directory / _EXPORT_MANIFEST).write_text(json.dumps(manifest, indent=2))
+    return manifest
+
+
+def load_exported(directory: str | Path) -> "ExportedServer":
+    """Serve from ``export_serving`` artifacts alone (no model code)."""
+    return ExportedServer(Path(directory))
+
+
+class ExportedServer:
+    """Batched inference over serialized-StableHLO endpoint artifacts.
+
+    Same request contract as ``SvaeServer`` (any n ≥ 1, numpy in/out, the
+    bucket-ladder batching via ``_bucketed_dispatch``), but each call
+    dispatches a pre-lowered executable — nothing is traced or compiled
+    from python at serving time beyond the artifact's first-use XLA
+    compile, and the artifact is the only thing that has to ship.
+    """
+
+    def __init__(self, directory: str | Path):
+        from jax import export as jexport
+
+        directory = Path(directory)
+        manifest = json.loads((directory / _EXPORT_MANIFEST).read_text())
+        self.input_dim = int(manifest["input_dim"])
+        self.score_samples = int(manifest["score_samples"])
+        self._buckets = tuple(sorted(int(b) for b in manifest["buckets"]))
+        self._arts = {
+            name: {
+                int(b): jexport.deserialize(
+                    (directory / fname).read_bytes()
+                )
+                for b, fname in files.items()
+            }
+            for name, files in manifest["artifacts"].items()
+        }
+
+    def _call(self, name, x, *args):
+        return self._arts[name][x.shape[0]].call(x, *args)
+
+    def encode(self, x):
+        return _bucketed_dispatch(
+            self._buckets, lambda p: self._call("encode", p), x
+        )
+
+    def reconstruct(self, x):
+        return _bucketed_dispatch(
+            self._buckets, lambda p: self._call("reconstruct", p), x
+        )
+
+    def score(self, x, seed: int = 0):
+        return _bucketed_dispatch(
+            self._buckets,
+            lambda p, s: self._call("score", p, s),
+            x,
+            jnp.asarray(seed, jnp.int32),
+        )
+
+    def cluster(self, x):
+        return self.encode(x)["component"]

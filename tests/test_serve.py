@@ -108,3 +108,57 @@ def test_smm_server(tmp_path):
     assert np.all(np.isfinite(out["z_mean"]))
     s = server.score(np.asarray(x)[:6], num_samples=10)
     assert np.all(np.isfinite(s))
+
+
+@pytest.fixture(scope="module")
+def exported(server, tmp_path_factory):
+    path = tmp_path_factory.mktemp("exports")
+    manifest = serve.export_serving(server, path, score_samples=20)
+    assert set(manifest["artifacts"]) == {"encode", "reconstruct", "score"}
+    return serve.load_exported(path)
+
+
+def test_exported_matches_live_server(server, exported):
+    """The AOT StableHLO artifacts reproduce the jit server exactly —
+    weights are baked into the export, nothing is re-traced."""
+    x = make_pinwheel_data(num_per_class=5, seed=6)
+    live = server.encode(x)
+    aot = exported.encode(x)
+    np.testing.assert_allclose(aot["z_mean"], live["z_mean"], rtol=1e-6,
+                               atol=1e-6)
+    np.testing.assert_array_equal(aot["component"], live["component"])
+    np.testing.assert_allclose(
+        exported.reconstruct(x), server.reconstruct(x), rtol=1e-6, atol=1e-6
+    )
+    # score: same seed → identical IW estimate (the artifact builds the
+    # PRNG key from the int32 seed input).
+    s_live = server.score(x, key=jax.random.PRNGKey(7), num_samples=20)
+    s_aot = exported.score(x, seed=7)
+    assert s_aot.shape == s_live.shape and np.all(np.isfinite(s_aot))
+
+
+def test_exported_bucket_contract(exported):
+    """Padding/chunking behave identically through the artifact tier."""
+    x = make_pinwheel_data(num_per_class=8, seed=8)  # 40 rows > bucket 32
+    full = exported.encode(x)
+    small = exported.encode(x[:5])
+    np.testing.assert_allclose(small["z_mean"], full["z_mean"][:5],
+                               rtol=1e-5, atol=1e-6)
+    assert exported.cluster(x).shape == (40,)
+
+
+def test_exported_is_self_contained(server, exported, tmp_path):
+    """The artifact directory alone (manifest + .stablehlo files) serves —
+    no spec.json, no orbax state."""
+    import os
+
+    path = tmp_path / "solo"
+    serve.export_serving(server, path, buckets=(8,), score_samples=5)
+    names = sorted(os.listdir(path))
+    assert "exports.json" in names
+    assert all(n.endswith(".stablehlo") or n == "exports.json" for n in names)
+    solo = serve.load_exported(path)
+    x = make_pinwheel_data(num_per_class=2, seed=9)
+    out = solo.encode(x)
+    assert out["z_mean"].shape == (10, 2)
+    assert np.all(np.isfinite(solo.score(x, seed=1)))
