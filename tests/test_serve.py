@@ -162,3 +162,23 @@ def test_exported_is_self_contained(server, exported, tmp_path):
     out = solo.encode(x)
     assert out["z_mean"].shape == (10, 2)
     assert np.all(np.isfinite(solo.score(x, seed=1)))
+
+
+def test_exported_smm_server(tmp_path):
+    """The Student-t-prior server exports too (u–z rounds trace under
+    jax.export) and the artifact reproduces it."""
+    spec = serve.ModelSpec(
+        input_dim=2, latent_dim=2, num_components=3, likelihood="gaussian",
+        encoder_hidden=(8,), decoder_hidden=(8,), dof=4.0, num_total=100,
+    )
+    state, x = _trained_state(spec, steps=10, seed=2)
+    srv = serve.SvaeServer(state.nn_params, state.pgm_nat, spec,
+                           buckets=(16,))
+    serve.export_serving(srv, tmp_path / "aot", score_samples=10)
+    aot = serve.load_exported(tmp_path / "aot")
+    q = np.asarray(x)[:6]
+    np.testing.assert_allclose(
+        aot.encode(q)["z_mean"], srv.encode(q)["z_mean"],
+        rtol=1e-6, atol=1e-6,
+    )
+    assert np.all(np.isfinite(aot.score(q, seed=2)))
