@@ -17,6 +17,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# The suite's ~40 single-core minutes are dominated by XLA compiles, and
+# most tests re-jit identical programs across runs — persist them. (The
+# cache key includes backend/flags/jax version, so CPU test entries can't
+# collide with the TPU benchmarks sharing the directory.)
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/svax-jax-cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # older jax without the knobs — run uncached
+    pass
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
