@@ -105,6 +105,17 @@ def main() -> None:
                         "degrees of freedom (0 = Gaussian mixture prior)")
     p.add_argument("--smm-iters", type=int, default=2,
                    help="u-z coordinate rounds in the SMM combine")
+    p.add_argument("--engine", choices=["xla", "megakernel", "auto"],
+                   default="xla",
+                   help="hot-loop engine: 'xla' = scan-chunked jitted step "
+                        "(default); 'megakernel' = the whole-train-step "
+                        "Pallas kernel (headline pinwheel engine, ~19k "
+                        "steps/s marginal on v5e; errors with the reason "
+                        "when the workload is outside its shape class); "
+                        "'auto' = megakernel when supported and on TPU. "
+                        "NOTE: the megakernel draws eps from the hardware "
+                        "PRNG — same distribution, different stream than "
+                        "the XLA path's threefry")
     p.add_argument("--smm-envelope-grads", action="store_true",
                    help="envelope-theorem gradients for the SMM u-rounds: "
                         "stop-gradient the converged q(u) so the backward "
@@ -205,6 +216,26 @@ def main() -> None:
         if args.rho_decay == 0.0
         else (lambda t: args.rho / (1.0 + args.rho_decay * t))
     )
+    engine = args.engine
+    if engine != "xla":
+        from svax.train.loop import megakernel_unsupported_reason
+
+        reason = megakernel_unsupported_reason(
+            config,
+            batch_full=batch >= n,
+            encoder_hidden=tuple(args.encoder_hidden),
+            decoder_hidden=tuple(args.decoder_hidden),
+            rho=rho,
+            data_parallel=args.dp,
+            aug_noise=args.aug_noise,
+            weight_decay=args.weight_decay,
+        )
+        on_tpu = jax.devices()[0].platform == "tpu"
+        if engine == "auto":
+            engine = "megakernel" if reason is None and on_tpu else "xla"
+        elif reason is not None:
+            p.error(f"--engine megakernel: {reason}")
+
     if args.dp:
         from svax.parallel import mesh as pmesh
 
@@ -231,7 +262,7 @@ def main() -> None:
         f"K={args.num_components} L={args.latent_dim} likelihood={likelihood}"
     )
 
-    if args.dp or args.scan_chunk <= 0:
+    if (args.dp or args.scan_chunk <= 0) and engine == "xla":
         # Warm-compile the per-step path so steps/sec excludes the cold
         # compile. The scan runners are separate compilations — warming the
         # per-step jit for them wastes a cold TPU compile (ADVICE r1).
@@ -258,7 +289,24 @@ def main() -> None:
             ckpt.save(t, state, k_run)
 
     t0 = time.perf_counter()
-    if args.scan_chunk > 0 and not args.dp:
+    if engine == "megakernel":
+        from svax.train.loop import make_megakernel_runner
+
+        runner = make_megakernel_runner(config, prior, lr=args.lr, rho=rho)
+        chunk = args.scan_chunk if args.scan_chunk > 0 else 1000
+        # Warm-compile at the chunk length the loop uses, outside the
+        # timed region (the result is discarded; state is unchanged).
+        warm, _ = runner(state, x_train, min(chunk, args.steps),
+                         seed=args.seed)
+        jax.block_until_ready(warm.pgm_nat.dir_nat)
+        t0 = time.perf_counter()
+        t = start_step
+        while t < args.steps:
+            todo = min(chunk, args.steps - t)
+            state, metrics = runner(state, x_train, todo, seed=args.seed)
+            t += todo
+            emit(t, {k: v[-1] for k, v in metrics.items()})
+    elif args.scan_chunk > 0 and not args.dp:
         from svax.train.loop import make_minibatch_scan_runner, make_scan_runner
 
         raw_step = augment_step(

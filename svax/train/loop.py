@@ -77,3 +77,122 @@ def make_minibatch_scan_runner(step: Callable, num_steps: int) -> Callable:
         return state, metrics
 
     return runner
+
+
+# --------------------------------------------------- megakernel engine
+
+
+def megakernel_unsupported_reason(
+    config,
+    *,
+    batch_full: bool,
+    encoder_hidden,
+    decoder_hidden,
+    rho,
+    data_parallel: bool = False,
+    component_shards: int = 1,
+    aug_noise: float = 0.0,
+    weight_decay: float = 0.0,
+) -> str | None:
+    """Why the tiny-step megakernel cannot run this workload (None = it can).
+
+    The megakernel (svax/ops/tinystep_pallas.py) trades generality for
+    speed: ONE Pallas launch runs T complete Adam+CVI steps with all state
+    VMEM-resident, but only for the headline shape class. Training-harness
+    features the kernel does not implement are rejected here with a
+    human-readable reason so CLIs/Trainers can gate loudly instead of
+    silently changing semantics.
+    """
+    from svax.ops import tinystep_pallas as tsp
+
+    if data_parallel or component_shards > 1:
+        return "megakernel is single-device (no data/component sharding)"
+    if aug_noise > 0.0:
+        return "megakernel does not implement input-noise augmentation"
+    if weight_decay > 0.0:
+        return "megakernel implements plain Adam only (no weight decay)"
+    if getattr(config, "dof", 0.0) > 0.0:
+        return "megakernel supports the GMM prior only (no SMM u-rounds)"
+    if not tsp.supported(
+        config,
+        batch_full=batch_full,
+        encoder_hidden=tuple(encoder_hidden),
+        decoder_hidden=tuple(decoder_hidden),
+        rho=rho,
+    ):
+        return (
+            "outside the megakernel shape class (needs latent d=2, "
+            "Gaussian likelihood, weighted recon, matched 2-hidden-layer "
+            "MLPs, full batch, constant rho, zero jitter)"
+        )
+    return None
+
+
+def make_megakernel_runner(
+    config,
+    prior,
+    *,
+    lr: float,
+    rho: float,
+    interpret: bool | None = None,
+) -> Callable:
+    """Chunk runner driving the whole-train-step Pallas megakernel.
+
+    Returns ``runner(state, x, t_steps, seed=0) → (state, metrics)`` —
+    semantically T steps of ``svae_step.make_train_step`` on the full
+    batch (oracle contract in tests/test_tinystep_kernel.py), executed as
+    ONE kernel launch with params/Adam/naturals VMEM-resident throughout.
+
+    Metric parity with the XLA step: per-step ``recon``/``local_kl`` are
+    exact; ``global_kl`` is evaluated once at the post-chunk naturals
+    (the kernel does not emit it per step) and broadcast, so ``elbo`` is
+    exact on the LAST row — the only row the Trainer/CLI log — and
+    approximate (one chunk stale in its global term) on earlier rows.
+
+    Off-TPU (``interpret=None`` auto-detects) the kernel runs through the
+    Pallas interpreter with host-generated eps — the hardware PRNG does
+    not lower there — which keeps the path testable in CPU CI.
+    """
+    from svax.ops import tinystep_pallas as tsp
+    from svax.pgm import gmm
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    # Mosaic has no bf16x3 HIGH: DEFAULT stays single-pass bf16, anything
+    # else gets the parity-class HIGHEST (full f32) dots.
+    precision = (
+        jax.lax.Precision.DEFAULT
+        if config.nn_precision == jax.lax.Precision.DEFAULT
+        else jax.lax.Precision.HIGHEST
+    )
+    kl_global = jax.jit(lambda nat: gmm.kl_global(nat, prior))
+
+    def runner(state, x, t_steps: int, seed: int = 0):
+        eps = None
+        if interpret:
+            k_eps = jax.random.fold_in(
+                jax.random.PRNGKey(seed), state.step.astype(jnp.int32)
+            )
+            n = x.shape[0]
+            eps = jax.random.normal(
+                k_eps,
+                (t_steps, config.num_samples, n, config.num_components,
+                 config.latent_dim),
+                jnp.float32,
+            )
+        state, mets = tsp.train_chunk(
+            state, prior, x, lr=lr, rho=rho, t_steps=t_steps,
+            num_samples=config.num_samples, seed=seed, eps=eps,
+            interpret=interpret, precision=precision,
+        )
+        gkl = kl_global(state.pgm_nat)
+        mets = dict(mets)
+        mets["global_kl"] = jnp.full((t_steps,), gkl)
+        mets["elbo"] = (
+            mets["recon"] - mets["local_kl"] - mets["global_kl"]
+        )
+        mets["rho"] = jnp.full((t_steps,), rho)
+        del mets["neg_loss"]
+        return state, mets
+
+    return runner

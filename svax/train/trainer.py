@@ -64,6 +64,11 @@ class TrainerConfig:
     # Where to write the summary JSON ("" = don't write; the summary is
     # always available as trainer.best after fit()).
     best_artifact: str = ""
+    # Execution engine for the hot loop: "xla" (scan-chunked jitted step,
+    # the default), "megakernel" (the whole-train-step Pallas kernel —
+    # raises with the reason when the workload is outside its shape
+    # class), or "auto" (megakernel when supported AND on TPU, else xla).
+    engine: str = "xla"
 
 
 def _rho_schedule(tc: TrainerConfig) -> float | Callable:
@@ -114,6 +119,19 @@ class Trainer:
     def make_eval(self) -> Callable | None:
         return None
 
+    def make_megakernel_runner(self) -> Callable | None:
+        """Hook: chunk runner for ``engine != "xla"`` (None = no such path).
+
+        Must honor the engine contract: return None for "auto" when the
+        workload is unsupported (silent fallback to xla), raise for an
+        explicit "megakernel" request it cannot serve.
+        """
+        if self.tc.engine == "megakernel":
+            raise ValueError(
+                f"{type(self).__name__} has no megakernel engine"
+            )
+        return None
+
     def sync_dtype(self, data) -> None:
         """Align any model-side dtypes (e.g. the conjugate prior) to the data."""
 
@@ -150,8 +168,17 @@ class Trainer:
         n = x_train.shape[0]
         batch = tc.batch_size or n
         chunk = tc.scan_chunk or min(max(tc.eval_every, 1), 100)
-        step = self._build_step()
-        if tc.data_parallel:
+        mega = None
+        if tc.engine != "xla":
+            mega = self.make_megakernel_runner()
+        if mega is not None:
+            runner = None
+            step = None
+        else:
+            step = self._build_step()
+        if mega is not None:
+            pass
+        elif tc.data_parallel:
             ndev = self._mesh.shape["data"]
             if batch % ndev:
                 batch = (batch // ndev) * ndev or ndev
@@ -160,7 +187,9 @@ class Trainer:
                 n = (n // ndev) * ndev
                 x_train = x_train[:n]
                 batch = n
-        if tc.data_parallel and batch >= n:
+        if mega is not None:
+            pass  # the megakernel runner takes t_steps directly
+        elif tc.data_parallel and batch >= n:
             # scan OVER the shard_map'd step: the whole chunk stays
             # device-resident with psums riding ICI inside the loop.
             runner = make_scan_runner(step, chunk)
@@ -199,7 +228,10 @@ class Trainer:
         while t < tc.steps:
             todo = min(chunk, tc.steps - t)
             k_run, k_chunk = jax.random.split(k_run)
-            if tc.data_parallel and runner is None:
+            if mega is not None:
+                state, metrics = mega(state, x_train, todo, seed=tc.seed)
+                last = {k: np.asarray(v)[-1] for k, v in metrics.items()}
+            elif tc.data_parallel and runner is None:
                 for i in range(todo):
                     k_chunk, kb, ks = jax.random.split(k_chunk, 3)
                     xb = x_train[jax.random.choice(kb, n, (batch,), replace=False)]
@@ -324,6 +356,32 @@ class SvaeTrainer(Trainer):
     def make_step(self, axis_name: str | None = None) -> Callable:
         return svae_step.make_train_step(
             self.mc, self.prior, self.optimizer, self.rho, axis_name=axis_name
+        )
+
+    def make_megakernel_runner(self) -> Callable | None:
+        from svax.train.loop import (
+            make_megakernel_runner,
+            megakernel_unsupported_reason,
+        )
+
+        reason = megakernel_unsupported_reason(
+            self.mc,
+            batch_full=self.tc.batch_size == 0,
+            encoder_hidden=tuple(self.tc.encoder_hidden),
+            decoder_hidden=tuple(self.tc.decoder_hidden),
+            rho=self.rho,
+            data_parallel=self.tc.data_parallel,
+            component_shards=self.tc.component_shards,
+        )
+        if self.tc.engine == "auto":
+            # Auto only picks the kernel where it actually wins: supported
+            # shape AND a real TPU (interpret mode is for tests, not auto).
+            if reason is not None or jax.devices()[0].platform != "tpu":
+                return None
+        elif reason is not None:
+            raise ValueError(f"engine='megakernel': {reason}")
+        return make_megakernel_runner(
+            self.mc, self.prior, lr=self.tc.lr, rho=self.rho
         )
 
     def make_comp_dp_step(self) -> Callable:

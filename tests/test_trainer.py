@@ -138,6 +138,64 @@ def test_early_stop_at_patience():
     assert int(state.step) == 20
 
 
+def test_megakernel_engine_fit(tmp_path):
+    """engine="megakernel" trains through the whole-train-step Pallas
+    kernel (interpret mode off-TPU) with the same logging/eval surfaces
+    as the xla path."""
+    x_train, x_test = _data()
+    x_train = x_train.astype(jnp.float32)
+    x_test = x_test.astype(jnp.float32)
+    mc = SvaeConfig(latent_dim=2, num_components=4, num_samples=2,
+                    num_total=x_train.shape[0])
+    tc = TrainerConfig(
+        steps=6, eval_every=3, scan_chunk=3, lr=3e-3, rho=0.2,
+        encoder_hidden=(16, 16), decoder_hidden=(16, 16),
+        engine="megakernel",
+        logfile=str(tmp_path / "log.jsonl"),
+    )
+    trainer = SvaeTrainer(mc, tc, input_dim=2)
+    state = trainer.fit(x_train, x_test)
+    assert int(state.step) == 6
+    from svax.train.metrics import read_jsonl
+
+    rows = read_jsonl(tmp_path / "log.jsonl")
+    assert rows[-1]["step"] == 6
+    for key in ("elbo", "recon", "local_kl", "global_kl",
+                "test_elbo_per_point"):
+        assert np.isfinite(rows[-1][key]), key
+    assert rows[-1]["elbo"] > rows[0]["elbo"]
+
+
+def test_megakernel_engine_rejects_unsupported():
+    """An explicit megakernel request outside the shape class raises with
+    the reason instead of silently falling back."""
+    import pytest
+
+    x_train, x_test = _data()
+    mc = SvaeConfig(latent_dim=3, num_components=4, num_samples=1,
+                    num_total=x_train.shape[0])
+    tc = TrainerConfig(steps=2, engine="megakernel",
+                       encoder_hidden=(16, 16), decoder_hidden=(16, 16))
+    trainer = SvaeTrainer(mc, tc, input_dim=2)
+    with pytest.raises(ValueError, match="shape class"):
+        trainer.fit(x_train.astype(jnp.float32), None)
+
+
+def test_auto_engine_falls_back_off_tpu():
+    """engine="auto" off-TPU silently uses the xla path (megakernel auto
+    only engages on real hardware) — the fit still runs to completion."""
+    x_train, x_test = _data()
+    mc = SvaeConfig(latent_dim=2, num_components=4, num_samples=1,
+                    num_total=x_train.shape[0])
+    tc = TrainerConfig(steps=4, eval_every=2, scan_chunk=2, rho=0.2,
+                       encoder_hidden=(16, 16), decoder_hidden=(16, 16),
+                       engine="auto")
+    trainer = SvaeTrainer(mc, tc, input_dim=2)
+    assert trainer.make_megakernel_runner() is None  # CPU → no kernel
+    state = trainer.fit(x_train, x_test)
+    assert int(state.step) == 4
+
+
 def test_gmm_trainer_through_engine(tmp_path):
     """Pure-GMM baseline rides the same engine: scan chunks, eval, logging."""
     from svax.train.trainer import GmmTrainer
