@@ -39,6 +39,12 @@ def main() -> None:
     p.add_argument("--init", choices=["random", "kmeanspp"], default="random")
     p.add_argument("--dp", action="store_true", help="data-parallel over all devices")
     p.add_argument("--fused-kernel", action="store_true", help="use the Pallas fused E-step")
+    p.add_argument(
+        "--engine", choices=["xla", "megakernel", "auto"], default="xla",
+        help="hot-loop engine: megakernel = whole-train-step Pallas kernel "
+        "(full batch, d=2, constant rho); auto = megakernel when supported "
+        "on TPU, else xla",
+    )
     p.add_argument("--plot", type=str, default="", help="write cluster plot PNG here")
     p.add_argument("--logfile", type=str, default="")
     args = p.parse_args()
@@ -105,34 +111,72 @@ def main() -> None:
             gmm_baseline.make_train_step(prior, rho, num_total=n, fused=args.fused_kernel)
         )
 
+    mega = None
+    if args.engine != "xla":
+        from svax.train.loop import (
+            make_mixture_megakernel_runner,
+            mixture_megakernel_unsupported_reason,
+        )
+
+        reason = mixture_megakernel_unsupported_reason(
+            data_dim=2, batch_full=batch >= n, rho=rho, data_parallel=args.dp,
+        )
+        if reason is None and args.fused_kernel:
+            reason = "--fused-kernel selects the XLA-path E-step engine"
+        if args.engine == "megakernel":
+            if reason is not None:
+                p.error(f"--engine megakernel: {reason}")
+            mega = make_mixture_megakernel_runner(prior, rho=args.rho)
+        elif reason is None and jax.devices()[0].platform == "tpu":
+            mega = make_mixture_megakernel_runner(prior, rho=args.rho)
+
     logf = open(args.logfile, "a") if args.logfile else None
-    print(f"devices={jax.devices()} n={n} batch={batch} K={args.num_components}")
+    print(
+        f"devices={jax.devices()} n={n} batch={batch} K={args.num_components}"
+        f" engine={'megakernel' if mega is not None else 'xla'}"
+    )
 
-    # Warm up compile before timing.
-    state_w, _ = step(state, x_train[:batch])
-    jax.block_until_ready(state_w.nat.dir_nat)
+    def _eval_row(t, elbo):
+        ev = gmm_baseline.evaluate(state.nat, prior, x_test, num_total=n)
+        row = {
+            "step": t,
+            "elbo": elbo,
+            "test_evidence_per_point": float(ev["evidence_per_point"]),
+        }
+        print(json.dumps(row))
+        if logf:
+            logf.write(json.dumps(row) + "\n")
 
-    t0 = time.perf_counter()
-    for t in range(args.steps):
-        if batch < n:
-            k_data, k = jax.random.split(k_data)
-            idx = jax.random.choice(k, n, (batch,), replace=False)
-            xb = x_train[idx]
-        else:
-            xb = x_train
-        state, metrics = step(state, xb)
-        if (t + 1) % args.eval_every == 0 or t == 0:
-            ev = gmm_baseline.evaluate(state.nat, prior, x_test, num_total=n)
-            row = {
-                "step": t + 1,
-                "elbo": float(metrics["elbo"]),
-                "test_evidence_per_point": float(ev["evidence_per_point"]),
-            }
-            print(json.dumps(row))
-            if logf:
-                logf.write(json.dumps(row) + "\n")
-    jax.block_until_ready(state.nat.dir_nat)
-    dt = time.perf_counter() - t0
+    if mega is not None:
+        state_w, _ = mega(state, x_train, 1)
+        jax.block_until_ready(state_w.nat.dir_nat)
+        t0 = time.perf_counter()
+        t = 0
+        while t < args.steps:
+            todo = min(args.eval_every, args.steps - t)
+            state, metrics = mega(state, x_train, todo)
+            t += todo
+            _eval_row(t, float(metrics["elbo"][-1]))
+        jax.block_until_ready(state.nat.dir_nat)
+        dt = time.perf_counter() - t0
+    else:
+        # Warm up compile before timing.
+        state_w, _ = step(state, x_train[:batch])
+        jax.block_until_ready(state_w.nat.dir_nat)
+
+        t0 = time.perf_counter()
+        for t in range(args.steps):
+            if batch < n:
+                k_data, k = jax.random.split(k_data)
+                idx = jax.random.choice(k, n, (batch,), replace=False)
+                xb = x_train[idx]
+            else:
+                xb = x_train
+            state, metrics = step(state, xb)
+            if (t + 1) % args.eval_every == 0 or t == 0:
+                _eval_row(t + 1, float(metrics["elbo"]))
+        jax.block_until_ready(state.nat.dir_nat)
+        dt = time.perf_counter() - t0
     counts = np.asarray(
         gmm.e_step_obs(x_train, gmm.expected_params(state.nat))[0].sum(0)
     )

@@ -33,6 +33,11 @@ def main() -> None:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--eval-every", type=int, default=20)
     p.add_argument("--platform", choices=["default", "cpu"], default="default")
+    p.add_argument(
+        "--engine", choices=["xla", "megakernel", "auto"], default="xla",
+        help="hot-loop engine: megakernel = whole-train-step Pallas kernel "
+        "(full batch, d=2); auto = megakernel when supported on TPU",
+    )
     p.add_argument("--plot", type=str, default="")
     args = p.parse_args()
 
@@ -68,21 +73,57 @@ def main() -> None:
         smm_baseline.make_train_step(prior, args.rho, num_total=n, dof=args.dof)
     )
 
-    print(f"devices={jax.devices()} n={n} K={args.num_components} dof={args.dof}")
-    state_w, _ = step(state, x_train[:batch])
-    jax.block_until_ready(state_w.nat.dir_nat)
+    mega = None
+    if args.engine != "xla":
+        from svax.train.loop import (
+            make_mixture_megakernel_runner,
+            mixture_megakernel_unsupported_reason,
+        )
 
-    t0 = time.perf_counter()
-    for t in range(args.steps):
-        if batch < n:
-            k_data, k = jax.random.split(k_data)
-            xb = x_train[jax.random.choice(k, n, (batch,), replace=False)]
-        else:
-            xb = x_train
-        state, metrics = step(state, xb)
-        if (t + 1) % args.eval_every == 0 or t == 0:
-            print(json.dumps({"step": t + 1, "elbo": float(metrics["elbo"])}))
-    jax.block_until_ready(state.nat.dir_nat)
+        reason = mixture_megakernel_unsupported_reason(
+            data_dim=2, batch_full=batch >= n, rho=args.rho,
+        )
+        if args.engine == "megakernel":
+            if reason is not None:
+                p.error(f"--engine megakernel: {reason}")
+            mega = make_mixture_megakernel_runner(
+                prior, rho=args.rho, dof=args.dof
+            )
+        elif reason is None and jax.devices()[0].platform == "tpu":
+            mega = make_mixture_megakernel_runner(
+                prior, rho=args.rho, dof=args.dof
+            )
+
+    print(
+        f"devices={jax.devices()} n={n} K={args.num_components} "
+        f"dof={args.dof} engine={'megakernel' if mega is not None else 'xla'}"
+    )
+    if mega is not None:
+        state_w, _ = mega(state, x_train, 1)
+        jax.block_until_ready(state_w.nat.dir_nat)
+        t0 = time.perf_counter()
+        t = 0
+        while t < args.steps:
+            todo = min(args.eval_every, args.steps - t)
+            state, metrics = mega(state, x_train, todo)
+            t += todo
+            print(json.dumps({"step": t, "elbo": float(metrics["elbo"][-1])}))
+        jax.block_until_ready(state.nat.dir_nat)
+    else:
+        state_w, _ = step(state, x_train[:batch])
+        jax.block_until_ready(state_w.nat.dir_nat)
+
+        t0 = time.perf_counter()
+        for t in range(args.steps):
+            if batch < n:
+                k_data, k = jax.random.split(k_data)
+                xb = x_train[jax.random.choice(k, n, (batch,), replace=False)]
+            else:
+                xb = x_train
+            state, metrics = step(state, xb)
+            if (t + 1) % args.eval_every == 0 or t == 0:
+                print(json.dumps({"step": t + 1, "elbo": float(metrics["elbo"])}))
+        jax.block_until_ready(state.nat.dir_nat)
     print(f"steps/sec: {args.steps / (time.perf_counter() - t0):.1f}")
 
     if args.plot:

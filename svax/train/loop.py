@@ -196,3 +196,73 @@ def make_megakernel_runner(
         return state, mets
 
     return runner
+
+
+def mixture_megakernel_unsupported_reason(
+    *,
+    data_dim: int,
+    batch_full: bool,
+    rho,
+    data_parallel: bool = False,
+    component_shards: int = 1,
+) -> str | None:
+    """Why the mixture megakernel cannot run this workload (None = it can).
+
+    Gate for the GMM/SMM whole-train-step kernel
+    (svax/ops/mixstep_pallas.py) — same contract shape as
+    ``megakernel_unsupported_reason`` above.
+    """
+    from svax.ops import mixstep_pallas as msp
+
+    if data_parallel or component_shards > 1:
+        return "megakernel is single-device (no data/component sharding)"
+    if not msp.supported(data_dim=data_dim, batch_full=batch_full, rho=rho):
+        return (
+            "outside the mixture-megakernel shape class (needs 2-D data, "
+            "full batch, constant rho)"
+        )
+    return None
+
+
+def make_mixture_megakernel_runner(
+    prior,
+    *,
+    rho: float,
+    dof: float = 0.0,
+    interpret: bool | None = None,
+) -> Callable:
+    """Chunk runner driving the GMM/SMM whole-train-step Pallas kernel.
+
+    Returns ``runner(state, x, t_steps, seed=0) → (state, metrics)`` —
+    semantically T steps of ``gmm_baseline.make_train_step`` (``dof=0``)
+    or ``smm_baseline.make_train_step`` on the full batch (oracle contract
+    in tests/test_mixstep_kernel.py), executed as ONE kernel launch with
+    the naturals VMEM-resident throughout. ``seed`` is accepted for engine
+    interface parity and ignored (the mixture step is deterministic).
+
+    Metric parity: per-step ``local_evidence`` is exact; ``elbo``'s global
+    KL is evaluated once at the POST-chunk naturals (the XLA step logs it
+    at each step's pre-update naturals), so logged elbo rows carry a
+    global term up to one chunk fresher — identical at convergence, and
+    the bound of a real parameter setting either way.
+    """
+    from svax.ops import mixstep_pallas as msp
+    from svax.pgm import gmm
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    kl_global = jax.jit(lambda nat: gmm.kl_global(nat, prior))
+
+    def runner(state, x, t_steps: int, seed: int = 0):
+        del seed
+        state, mets = msp.train_chunk(
+            state, prior, x, rho=rho, t_steps=t_steps, dof=dof,
+            interpret=interpret,
+        )
+        gkl = kl_global(state.nat)
+        mets = dict(mets)
+        mets["elbo"] = mets["local_evidence"] - gkl
+        mets["rho"] = jnp.full((t_steps,), rho)
+        return state, mets
+
+    return runner

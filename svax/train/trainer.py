@@ -438,6 +438,30 @@ class _ConjugateMixtureTrainer(Trainer):
         raw = self._make_raw_step(axis_name)
         return lambda state, batch, key: raw(state, batch)  # key-adapted
 
+    def make_megakernel_runner(self) -> Callable | None:
+        from svax.train.loop import (
+            make_mixture_megakernel_runner,
+            mixture_megakernel_unsupported_reason,
+        )
+
+        reason = mixture_megakernel_unsupported_reason(
+            data_dim=self.prior.niw_nat.eta1.shape[-1],
+            batch_full=self.tc.batch_size == 0,
+            rho=self.rho,
+            data_parallel=self.tc.data_parallel,
+            component_shards=self.tc.component_shards,
+        )
+        if self.tc.engine == "auto":
+            # Same policy as the SVAE engine: auto picks the kernel only
+            # where it wins — supported shape AND a real TPU.
+            if reason is not None or jax.devices()[0].platform != "tpu":
+                return None
+        elif reason is not None:
+            raise ValueError(f"engine='megakernel': {reason}")
+        return make_mixture_megakernel_runner(
+            self.prior, rho=self.rho, dof=getattr(self, "dof", 0.0)
+        )
+
 
 class GmmTrainer(_ConjugateMixtureTrainer):
     """Pure-GMM natural-gradient VMP through the shared engine

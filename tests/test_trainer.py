@@ -270,3 +270,75 @@ def test_vae_trainer_data_parallel():
     state = VaeTrainer(mc, tc, input_dim=2).fit(x_train)
     assert int(state.step) == 10
     assert np.isfinite(float(jax.tree.leaves(state.params)[0].sum()))
+
+
+def test_gmm_trainer_megakernel_engine(tmp_path):
+    """engine="megakernel" drives the GMM baseline through the mixture
+    whole-train-step kernel (interpret mode off-TPU) and matches the xla
+    engine's naturals trajectory."""
+    from svax.train.trainer import GmmTrainer
+
+    x_train, x_test = _data()
+    x_train = x_train.astype(jnp.float32)
+    x_test = x_test.astype(jnp.float32)
+    kw = dict(steps=12, eval_every=4, scan_chunk=4, rho=0.5)
+    tc = TrainerConfig(engine="megakernel",
+                       logfile=str(tmp_path / "gm.jsonl"), **kw)
+    state = GmmTrainer(tc, num_components=5, data_dim=2).fit(x_train, x_test)
+    assert int(state.step) == 12
+    ref = GmmTrainer(TrainerConfig(**kw), num_components=5,
+                     data_dim=2).fit(x_train, x_test)
+    np.testing.assert_allclose(
+        np.asarray(state.nat.dir_nat), np.asarray(ref.nat.dir_nat),
+        rtol=3e-4, atol=3e-4,
+    )
+    from svax.train.metrics import read_jsonl
+
+    rows = read_jsonl(tmp_path / "gm.jsonl")
+    assert rows[-1]["step"] == 12
+    for key in ("elbo", "local_evidence", "test_evidence_per_point"):
+        assert np.isfinite(rows[-1][key]), key
+    assert rows[-1]["elbo"] > rows[0]["elbo"]
+
+
+def test_smm_trainer_megakernel_engine():
+    """The SMM baseline rides the same kernel with u-weighted stats."""
+    from svax.train.trainer import SmmTrainer
+
+    x_train, _ = _data()
+    x_train = x_train.astype(jnp.float32)
+    kw = dict(steps=8, eval_every=4, scan_chunk=4, rho=0.5)
+    state = SmmTrainer(TrainerConfig(engine="megakernel", **kw),
+                       num_components=4, data_dim=2, dof=4.0).fit(x_train)
+    ref = SmmTrainer(TrainerConfig(**kw), num_components=4, data_dim=2,
+                     dof=4.0).fit(x_train)
+    assert int(state.step) == 8
+    np.testing.assert_allclose(
+        np.asarray(state.nat.niw_nat.eta1),
+        np.asarray(ref.nat.niw_nat.eta1), rtol=3e-4, atol=3e-4,
+    )
+
+
+def test_gmm_trainer_megakernel_rejects_unsupported():
+    """Explicit megakernel request with minibatching raises the reason."""
+    import pytest
+
+    from svax.train.trainer import GmmTrainer
+
+    x_train, _ = _data()
+    tc = TrainerConfig(steps=2, batch_size=16, engine="megakernel")
+    with pytest.raises(ValueError, match="full batch"):
+        GmmTrainer(tc, num_components=4, data_dim=2).fit(
+            x_train.astype(jnp.float32)
+        )
+
+
+def test_gmm_trainer_auto_engine_falls_back_off_tpu():
+    from svax.train.trainer import GmmTrainer
+
+    x_train, _ = _data()
+    tc = TrainerConfig(steps=4, eval_every=2, rho=0.5, engine="auto")
+    trainer = GmmTrainer(tc, num_components=4, data_dim=2)
+    state = trainer.fit(x_train)
+    assert trainer.make_megakernel_runner() is None  # CPU → no kernel
+    assert int(state.step) == 4
