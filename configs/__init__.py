@@ -60,6 +60,12 @@ CONFIGS: dict[str, dict] = {
         alpha=1.0,
         kappa=0.05,
         scan_chunk=500,  # 8698 steps/s measured (bench_chunks.py)
+        # On TPU the flexstep megakernel runs this whole config in one
+        # Pallas program per chunk: 34k steps/s at parity-class HIGHEST
+        # dots, 69k at --precision default (best test ELBO identical to
+        # 1e-3 in a same-seed A/B — BASELINE.md row #3). Off-TPU "auto"
+        # falls back to the xla scan path.
+        engine="auto",
     ),
     # BASELINE config #4
     "mnist-svae": dict(

@@ -229,6 +229,8 @@ def main() -> None:
             data_parallel=args.dp,
             aug_noise=args.aug_noise,
             weight_decay=args.weight_decay,
+            input_dim=input_dim,
+            rho_decay=args.rho_decay,
         )
         on_tpu = jax.devices()[0].platform == "tpu"
         if engine == "auto":
@@ -292,7 +294,14 @@ def main() -> None:
     if engine == "megakernel":
         from svax.train.loop import make_megakernel_runner
 
-        runner = make_megakernel_runner(config, prior, lr=args.lr, rho=rho)
+        runner = make_megakernel_runner(
+            config, prior, lr=args.lr, rho=args.rho,
+            rho_decay=args.rho_decay,
+            batch_size=0 if batch >= n else batch,
+            aug_noise=args.aug_noise,
+            encoder_hidden=tuple(args.encoder_hidden),
+            decoder_hidden=tuple(args.decoder_hidden),
+        )
         chunk = args.scan_chunk if args.scan_chunk > 0 else 1000
         # Warm-compile at the chunk length the loop uses, outside the
         # timed region (the result is discarded; state is unchanged).

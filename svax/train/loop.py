@@ -93,39 +93,60 @@ def megakernel_unsupported_reason(
     component_shards: int = 1,
     aug_noise: float = 0.0,
     weight_decay: float = 0.0,
+    input_dim: int = 0,
+    rho_decay: float = 0.0,
 ) -> str | None:
-    """Why the tiny-step megakernel cannot run this workload (None = it can).
+    """Why no SVAE megakernel can run this workload (None = one can).
 
-    The megakernel (svax/ops/tinystep_pallas.py) trades generality for
-    speed: ONE Pallas launch runs T complete Adam+CVI steps with all state
-    VMEM-resident, but only for the headline shape class. Training-harness
-    features the kernel does not implement are rejected here with a
-    human-readable reason so CLIs/Trainers can gate loudly instead of
+    Two whole-train-step kernels share the engine: ``tinystep_pallas``
+    (the headline pinwheel class — d=2, full batch, constant ρ, no
+    augmentation) and ``flexstep_pallas`` (small-d minibatch class —
+    d_in ≤ 8, latent d ≤ 6, Gaussian likelihood, 2-hidden tanh MLPs,
+    constant-or-inverse-decay ρ, minibatch/augmentation via the streamed
+    batch stack; ``input_dim`` must be given for it to be considered).
+    Training-harness features neither kernel implements are rejected with
+    a human-readable reason so CLIs/Trainers gate loudly instead of
     silently changing semantics.
     """
+    from svax.ops import flexstep_pallas as fsp
     from svax.ops import tinystep_pallas as tsp
 
     if data_parallel or component_shards > 1:
         return "megakernel is single-device (no data/component sharding)"
-    if aug_noise > 0.0:
-        return "megakernel does not implement input-noise augmentation"
     if weight_decay > 0.0:
         return "megakernel implements plain Adam only (no weight decay)"
     if getattr(config, "dof", 0.0) > 0.0:
         return "megakernel supports the GMM prior only (no SMM u-rounds)"
-    if not tsp.supported(
-        config,
-        batch_full=batch_full,
-        encoder_hidden=tuple(encoder_hidden),
-        decoder_hidden=tuple(decoder_hidden),
-        rho=rho,
-    ):
-        return (
-            "outside the megakernel shape class (needs latent d=2, "
-            "Gaussian likelihood, weighted recon, matched 2-hidden-layer "
-            "MLPs, full batch, constant rho, zero jitter)"
+    tiny_ok = (
+        aug_noise == 0.0
+        and rho_decay == 0.0
+        and tsp.supported(
+            config,
+            batch_full=batch_full,
+            encoder_hidden=tuple(encoder_hidden),
+            decoder_hidden=tuple(decoder_hidden),
+            rho=rho,
         )
-    return None
+    )
+    flex_ok = (
+        input_dim > 0
+        and (rho_decay > 0.0 or not callable(rho))
+        and fsp.supported(
+            config,
+            d_in=input_dim,
+            encoder_hidden=tuple(encoder_hidden),
+            decoder_hidden=tuple(decoder_hidden),
+        )
+    )
+    if tiny_ok or flex_ok:
+        return None
+    return (
+        "outside both megakernel shape classes (tinystep: latent d=2, "
+        "Gaussian likelihood, weighted recon, matched 2-hidden-layer MLPs, "
+        "full batch, constant rho, no augmentation, zero jitter; flexstep: "
+        "Gaussian likelihood, weighted recon, 2-hidden tanh MLPs, "
+        "d_in<=8, latent d<=6, constant or 1/(1+decay*t) rho)"
+    )
 
 
 def make_megakernel_runner(
@@ -134,14 +155,26 @@ def make_megakernel_runner(
     *,
     lr: float,
     rho: float,
+    rho_decay: float = 0.0,
+    batch_size: int = 0,
+    aug_noise: float = 0.0,
+    encoder_hidden=None,
+    decoder_hidden=None,
     interpret: bool | None = None,
 ) -> Callable:
-    """Chunk runner driving the whole-train-step Pallas megakernel.
+    """Chunk runner driving a whole-train-step Pallas megakernel.
 
     Returns ``runner(state, x, t_steps, seed=0) → (state, metrics)`` —
-    semantically T steps of ``svae_step.make_train_step`` on the full
-    batch (oracle contract in tests/test_tinystep_kernel.py), executed as
-    ONE kernel launch with params/Adam/naturals VMEM-resident throughout.
+    semantically T steps of ``svae_step.make_train_step`` (oracle
+    contracts in tests/test_tinystep_kernel.py and
+    tests/test_flexstep_kernel.py), executed as ONE kernel launch with
+    params/Adam/naturals VMEM-resident throughout. ``rho`` is the float
+    ρ₀ (the schedule ρ₀/(1+decay·t) is computed in-kernel when
+    ``rho_decay > 0``). Two kernels share this interface: the headline
+    ``tinystep`` kernel when the workload is full-batch d=2 with constant
+    ρ and no augmentation, else the generalized ``flexstep`` kernel
+    (minibatch sampling and input-noise augmentation happen on the
+    streamed batch stack outside the kernel, preserving exact semantics).
 
     Metric parity with the XLA step: per-step ``recon``/``local_kl`` are
     exact; ``global_kl`` is evaluated once at the post-chunk naturals
@@ -153,6 +186,7 @@ def make_megakernel_runner(
     Pallas interpreter with host-generated eps — the hardware PRNG does
     not lower there — which keeps the path testable in CPU CI.
     """
+    from svax.ops import flexstep_pallas as fsp
     from svax.ops import tinystep_pallas as tsp
     from svax.pgm import gmm
 
@@ -167,33 +201,87 @@ def make_megakernel_runner(
     )
     kl_global = jax.jit(lambda nat: gmm.kl_global(nat, prior))
 
-    def runner(state, x, t_steps: int, seed: int = 0):
-        eps = None
-        if interpret:
-            k_eps = jax.random.fold_in(
-                jax.random.PRNGKey(seed), state.step.astype(jnp.int32)
+    use_tiny = (
+        batch_size == 0
+        and aug_noise == 0.0
+        and rho_decay == 0.0
+        and (
+            encoder_hidden is None
+            or tsp.supported(
+                config,
+                batch_full=True,
+                encoder_hidden=tuple(encoder_hidden),
+                decoder_hidden=tuple(decoder_hidden),
+                rho=rho,
             )
-            n = x.shape[0]
-            eps = jax.random.normal(
-                k_eps,
-                (t_steps, config.num_samples, n, config.num_components,
-                 config.latent_dim),
-                jnp.float32,
-            )
-        state, mets = tsp.train_chunk(
-            state, prior, x, lr=lr, rho=rho, t_steps=t_steps,
-            num_samples=config.num_samples, seed=seed, eps=eps,
-            interpret=interpret, precision=precision,
         )
+    )
+
+    def finish(state, mets, t_steps):
         gkl = kl_global(state.pgm_nat)
         mets = dict(mets)
         mets["global_kl"] = jnp.full((t_steps,), gkl)
-        mets["elbo"] = (
-            mets["recon"] - mets["local_kl"] - mets["global_kl"]
-        )
-        mets["rho"] = jnp.full((t_steps,), rho)
+        mets["elbo"] = mets["recon"] - mets["local_kl"] - mets["global_kl"]
+        mets.setdefault("rho", jnp.full((t_steps,), rho))
         del mets["neg_loss"]
         return state, mets
+
+    if use_tiny:
+
+        def runner(state, x, t_steps: int, seed: int = 0):
+            eps = None
+            if interpret:
+                k_eps = jax.random.fold_in(
+                    jax.random.PRNGKey(seed), state.step.astype(jnp.int32)
+                )
+                n = x.shape[0]
+                eps = jax.random.normal(
+                    k_eps,
+                    (t_steps, config.num_samples, n, config.num_components,
+                     config.latent_dim),
+                    jnp.float32,
+                )
+            state, mets = tsp.train_chunk(
+                state, prior, x, lr=lr, rho=rho, t_steps=t_steps,
+                num_samples=config.num_samples, seed=seed, eps=eps,
+                interpret=interpret, precision=precision,
+            )
+            return finish(state, mets, t_steps)
+
+        return runner
+
+    def runner(state, x, t_steps: int, seed: int = 0):
+        n = x.shape[0]
+        m = min(batch_size or n, n)
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(seed), state.step.astype(jnp.int32)
+        )
+        kb, ka, ke = jax.random.split(key, 3)
+        if m >= n:
+            batches = jnp.broadcast_to(
+                x.astype(jnp.float32), (t_steps,) + x.shape
+            )
+        else:
+            idx = jax.random.randint(kb, (t_steps, m), 0, n)
+            batches = x[idx].astype(jnp.float32)
+        if aug_noise > 0.0:
+            batches = batches + aug_noise * jax.random.normal(
+                ka, batches.shape, batches.dtype
+            )
+        eps = None
+        if interpret:
+            eps = jax.random.normal(
+                ke,
+                (t_steps, config.num_samples, m, config.num_components,
+                 config.latent_dim),
+                jnp.float32,
+            )
+        state, mets = fsp.train_chunk(
+            state, prior, batches, lr=lr, rho=rho, rho_decay=rho_decay,
+            num_total=n, num_samples=config.num_samples, seed=seed,
+            eps=eps, interpret=interpret, precision=precision,
+        )
+        return finish(state, mets, t_steps)
 
     return runner
 

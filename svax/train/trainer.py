@@ -372,6 +372,8 @@ class SvaeTrainer(Trainer):
             rho=self.rho,
             data_parallel=self.tc.data_parallel,
             component_shards=self.tc.component_shards,
+            input_dim=self.input_dim,
+            rho_decay=self.tc.rho_decay,
         )
         if self.tc.engine == "auto":
             # Auto only picks the kernel where it actually wins: supported
@@ -381,7 +383,10 @@ class SvaeTrainer(Trainer):
         elif reason is not None:
             raise ValueError(f"engine='megakernel': {reason}")
         return make_megakernel_runner(
-            self.mc, self.prior, lr=self.tc.lr, rho=self.rho
+            self.mc, self.prior, lr=self.tc.lr, rho=self.tc.rho,
+            rho_decay=self.tc.rho_decay, batch_size=self.tc.batch_size,
+            encoder_hidden=tuple(self.tc.encoder_hidden),
+            decoder_hidden=tuple(self.tc.decoder_hidden),
         )
 
     def make_comp_dp_step(self) -> Callable:

@@ -167,18 +167,49 @@ def test_megakernel_engine_fit(tmp_path):
 
 
 def test_megakernel_engine_rejects_unsupported():
-    """An explicit megakernel request outside the shape class raises with
+    """An explicit megakernel request outside BOTH kernel shape classes
+    (latent d=7 exceeds tinystep's d=2 and flexstep's d<=6) raises with
     the reason instead of silently falling back."""
     import pytest
 
     x_train, x_test = _data()
-    mc = SvaeConfig(latent_dim=3, num_components=4, num_samples=1,
+    mc = SvaeConfig(latent_dim=7, num_components=4, num_samples=1,
                     num_total=x_train.shape[0])
     tc = TrainerConfig(steps=2, engine="megakernel",
                        encoder_hidden=(16, 16), decoder_hidden=(16, 16))
     trainer = SvaeTrainer(mc, tc, input_dim=2)
     with pytest.raises(ValueError, match="shape class"):
         trainer.fit(x_train.astype(jnp.float32), None)
+
+
+def test_flexstep_engine_minibatch_fit(tmp_path):
+    """engine="megakernel" with minibatching + latent d=3 routes through
+    the flexstep kernel (interpret mode off-TPU) with the same logging
+    and eval surfaces as the xla path."""
+    x_train, x_test = _data()
+    x_train = x_train.astype(jnp.float32)
+    x_test = x_test.astype(jnp.float32)
+    mc = SvaeConfig(latent_dim=3, num_components=4, num_samples=2,
+                    num_total=x_train.shape[0])
+    tc = TrainerConfig(
+        steps=6, eval_every=3, scan_chunk=3, lr=3e-3, rho=0.2,
+        rho_decay=0.01, batch_size=24,
+        encoder_hidden=(16, 16), decoder_hidden=(16, 16),
+        engine="megakernel",
+        logfile=str(tmp_path / "log.jsonl"),
+    )
+    trainer = SvaeTrainer(mc, tc, input_dim=2)
+    state = trainer.fit(x_train, x_test)
+    assert int(state.step) == 6
+    from svax.train.metrics import read_jsonl
+
+    rows = read_jsonl(tmp_path / "log.jsonl")
+    assert rows[-1]["step"] == 6
+    for key in ("elbo", "recon", "local_kl", "global_kl", "rho",
+                "test_elbo_per_point"):
+        assert np.isfinite(rows[-1][key]), key
+    # The in-kernel rho schedule decayed from rho0.
+    assert rows[-1]["rho"] < 0.2
 
 
 def test_auto_engine_falls_back_off_tpu():
