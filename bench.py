@@ -69,8 +69,9 @@ def main() -> None:
 
     def run_megakernel():
         # Whole-train-step Pallas megakernel: 10000 steps per launch, all
-        # state VMEM-resident; single-pass MXU dots (IW-quality parity
-        # with HIGHEST/XLA measured: -5.93 vs -5.94 at 15k steps).
+        # state VMEM-resident; single-pass MXU dots (15k-step IW quality,
+        # post Box-Muller fix: -5.858 at DEFAULT vs -5.603 at HIGHEST —
+        # benchmarks/verify_tinystep_quality_tpu.py; see BASELINE.md).
         from svax.ops import tinystep_pallas as tsp
 
         st = state
