@@ -50,6 +50,18 @@ def main() -> None:
     ap.add_argument("--json", type=str, default="")
     ap.add_argument("--platform", choices=["default", "cpu"],
                     default="default")
+    ap.add_argument("--engine", choices=["xla", "mega"], default="xla",
+                    help="'mega' runs every variant through the megakernel "
+                         "engine (make_megakernel_runner: tinystep for "
+                         "aug=0, flexstep via the pre-augmented batch "
+                         "stack for aug>0) — the VERDICT r3 headline-"
+                         "unification sweep. warmup/wd variants are "
+                         "outside the kernels' scope and rejected loudly")
+    ap.add_argument("--nn-precision", choices=["high", "highest", "default"],
+                    default="high",
+                    help="SvaeConfig.nn_precision; under --engine mega "
+                         "'high' maps to HIGHEST kernel dots (Mosaic has "
+                         "no bf16x3) and 'default' to 1-pass bf16")
     ap.add_argument("--redraw-data", action="store_true",
                     help="redraw the pinwheel per seed (round-2 protocol) "
                          "and compute the per-draw pure-GMM exact "
@@ -85,8 +97,11 @@ def main() -> None:
     train, x, xt = draw(0)
     n = x.shape[0]
     k, s, lr = 10, 4, 1e-3
+    prec = {"high": jax.lax.Precision.HIGH,
+            "highest": jax.lax.Precision.HIGHEST,
+            "default": jax.lax.Precision.DEFAULT}[args.nn_precision]
     config = SvaeConfig(latent_dim=2, num_components=k, num_samples=s,
-                        num_total=n)
+                        num_total=n, nn_precision=prec)
     prior = gmm.make_prior(k, 2, kappa=0.05)
     opt = optax.adam(lr)
 
@@ -158,6 +173,20 @@ def main() -> None:
                 f"variant {variant!r}: steps {v_steps} is not a multiple "
                 f"of chunk {v_chunk} — the remainder would be dropped"
             )
+        mega_runner = None
+        if args.engine == "mega":
+            if use_warm or wd > 0.0:
+                raise SystemExit(
+                    f"variant {variant!r}: --engine mega supports constant "
+                    "or inverse-decay rho and plain Adam only (no warmup "
+                    "ramp, no weight decay) — run these on --engine xla"
+                )
+            from svax.train.loop import make_megakernel_runner
+
+            mega_runner = make_megakernel_runner(
+                config, prior, lr=lr, rho=args.rho, batch_size=0,
+                aug_noise=aug, encoder_hidden=(50, 50),
+                decoder_hidden=(50, 50))
         runner = make_scan_runner(step, v_chunk)
         rows = []
         for seed in range(args.num_seeds):
@@ -177,7 +206,11 @@ def main() -> None:
                 kk = key
                 for c in range(v_steps // v_chunk):
                     kk = jax.random.fold_in(kk, c)
-                    state, metrics = runner(state, x, kk)
+                    if mega_runner is not None:
+                        state, metrics = mega_runner(
+                            state, x, v_chunk, seed=seed + 1000 * r)
+                    else:
+                        state, metrics = runner(state, x, kk)
                 # Restart selection by TRAIN-side ELBO only (no test leak).
                 tr_elbo = float(metrics["elbo"][-1])
                 if best is None or tr_elbo > best[0]:
