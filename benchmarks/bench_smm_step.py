@@ -1,12 +1,15 @@
 #!/usr/bin/env python
-"""SMM-prior SVAE step cost: envelope-theorem grads vs full backward.
+"""SMM-prior SVAE step cost: envelope grads, full backward, megakernel.
 
 The SMM u–z coordinate rounds (svax/models/svae_smm.py) cost ~4.7× the
 GMM-prior step (r2 measurement). ``SvaeConfig.smm_envelope_grads`` stops
 the converged q(u) parameters' cotangents (envelope theorem), dropping
-``smm_iters`` whole combine chains from the backward pass. This measures
-the win at the pinwheel shape with paired-chunk timing (fixed per-launch
-overhead cancelled; scalar host reads as sync — see bench.py).
+``smm_iters`` whole combine chains from the backward pass. Round 4 adds
+the tinystep megakernel rows (``dof > 0`` runs the u–z rounds in-kernel,
+svax/ops/tinystep_pallas.py) — the op-count attack the GMM prior got in
+round 3, applied to the SMM prior (VERDICT r3 item 5). Paired-chunk
+timing throughout (fixed per-launch overhead cancelled; scalar host
+reads as sync — see bench.py).
 
 Run on TPU:  python benchmarks/bench_smm_step.py
 """
@@ -68,6 +71,47 @@ def _steps_per_sec(config, x, smm: bool):
     return CHUNK / (t2 - t1)
 
 
+def _mega_steps_per_sec(config, x):
+    """Tinystep megakernel (dof>0 = in-kernel SMM u–z rounds) marginal."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from svax.pgm import gmm
+    from svax.train import svae_step
+    from svax.train.loop import make_megakernel_runner
+
+    prior = jax.tree.map(
+        lambda a: a.astype(jnp.float32), gmm.make_prior(10, 2, kappa=0.05)
+    )
+    opt = optax.adam(1e-3)
+    state = svae_step.init_state(jax.random.PRNGKey(0), 2, config, prior,
+                                 opt, (50, 50), (50, 50), data=x)
+    state = jax.tree.map(
+        lambda a: a.astype(jnp.float32)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a, state
+    )
+    runner = make_megakernel_runner(config, prior, lr=1e-3, rho=0.05,
+                                    batch_size=0)
+
+    def median_time(c):
+        st, _ = runner(state, x, c, seed=0)
+        float(st.pgm_nat.dir_nat.ravel()[0])
+        ts = []
+        for i in range(N_CHUNKS):
+            t0 = time.perf_counter()
+            st, m = runner(st, x, c, seed=i + 1)
+            float(st.pgm_nat.dir_nat.ravel()[0])
+            ts.append(time.perf_counter() - t0)
+        assert bool(jnp.isfinite(m["elbo"][-1]))
+        return float(np.median(ts))
+
+    t1 = median_time(CHUNK)
+    t2 = median_time(2 * CHUNK)
+    return CHUNK / (t2 - t1)
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -92,6 +136,10 @@ def main() -> None:
     rows["smm_envelope"] = _steps_per_sec(
         SvaeConfig(**base, dof=4.0, smm_iters=2, smm_envelope_grads=True),
         x, smm=True)
+    rows["smm_mega_envelope"] = _mega_steps_per_sec(
+        SvaeConfig(**base, dof=4.0, smm_iters=2, smm_envelope_grads=True), x)
+    rows["smm_mega_full_bwd"] = _mega_steps_per_sec(
+        SvaeConfig(**base, dof=4.0, smm_iters=2), x)
     print(json.dumps({
         "shape": "pinwheel N=400 K=10 d=2 S=4",
         "steps_per_sec": {k: round(v, 1) for k, v in rows.items()},
@@ -100,6 +148,8 @@ def main() -> None:
             rows["gmm_prior"] / rows["smm_envelope"], 2),
         "envelope_speedup": round(
             rows["smm_envelope"] / rows["smm_full_bwd"], 2),
+        "mega_vs_xla_envelope": round(
+            rows["smm_mega_envelope"] / rows["smm_envelope"], 2),
     }), flush=True)
 
 

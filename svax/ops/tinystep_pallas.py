@@ -39,6 +39,10 @@ whole step. Gradients/updates are identical either way.
 Scope gate (the headline config's shape class): latent d=2, Gaussian
 likelihood, tanh MLPs with exactly two hidden layers, full batch,
 single device, constant ρ. Everything else falls back to the XLA path.
+``dof > 0`` switches the combine to the Student-t-prior (SMM) u–z
+coordinate rounds of svax.models.svae_smm — pure extra VPU plane math
+(E[u]-scaled 2×2 solves + the Gamma free-energy terms; the lgamma/ψ
+constants are evaluated at trace time) behind the same grid.
 
 Oracle: tests/test_tinystep_kernel.py runs this kernel in interpret mode
 against ``svax.train.svae_step.make_train_step`` (values, updated state,
@@ -48,6 +52,7 @@ multi-step trajectories) at matched ε.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -92,6 +97,26 @@ def _digamma(x):
 
 def _softplus(x):
     return jnp.logaddexp(x, 0.0)
+
+
+def _digamma_host(x: float) -> float:
+    """Python-float ψ(x), same recurrence+series as ``_digamma`` above.
+
+    The SMM branch needs ψ at the (compile-time constant) Gamma shapes
+    a₀ and a = a₀ + d/2 only — evaluated at trace time so the kernel
+    never computes it."""
+    acc = 0.0
+    for i in range(8):
+        acc += 1.0 / (x + i)
+    y = x + 8.0
+    inv = 1.0 / y
+    inv2 = inv * inv
+    return (
+        math.log(y)
+        - 0.5 * inv
+        - inv2 * (1.0 / 12.0 - inv2 * (1.0 / 120.0 - inv2 / 252.0))
+        - acc
+    )
 
 
 def _expected_cols(nat, k_mask, num_k: int):
@@ -186,25 +211,87 @@ def _step_math(nn, exp, x_t, xs_t, eps, n_mask, k_maskc, *, geom):
     h2 = out[1:2, :] * p2
 
     # SIN combine (§9.4), closed-form 2×2, on (K_pad, N_pad) planes.
-    j11 = exp["prec11"] + p1  # (K_pad, N_pad) via broadcast
-    j12 = exp["prec12"] + jnp.zeros_like(j11)
-    j22 = exp["prec22"] + p2
-    ht1 = exp["pm1"] + h1
-    ht2 = exp["pm2"] + h2
-    det = j11 * j22 - j12 * j12
-    s11 = j22 / det
-    s12 = -j12 / det
-    s22 = j11 / det
-    mu1 = s11 * ht1 + s12 * ht2
-    mu2 = s12 * ht1 + s22 * ht2
-    logdet_j = jnp.log(det)
-    log_rho = (
-        exp["log_pi"]
-        + 0.5 * exp["logdet"]
-        - 0.5 * exp["quad"]
-        + 0.5 * (mu1 * ht1 + mu2 * ht2)
-        - 0.5 * logdet_j
-    )
+    # ``dof > 0`` switches to the u-augmented Student-t-prior combine
+    # (svae_smm.smm_combine): ū-scaled component messages, smm_iters u–z
+    # coordinate rounds, and a final z-update so q(z) is optimal for the
+    # final q(u). ū = 1.0 reproduces the GMM combine bit-for-bit.
+    dof = geom["dof"]
+
+    def z_planes(e_u):
+        j11 = e_u * exp["prec11"] + p1  # (K_pad, N_pad) via broadcast
+        j12 = e_u * exp["prec12"] + jnp.zeros_like(j11)
+        j22 = e_u * exp["prec22"] + p2
+        ht1 = e_u * exp["pm1"] + h1
+        ht2 = e_u * exp["pm2"] + h2
+        det = j11 * j22 - j12 * j12
+        s11 = j22 / det
+        s12 = -j12 / det
+        s22 = j11 / det
+        mu1 = s11 * ht1 + s12 * ht2
+        mu2 = s12 * ht1 + s22 * ht2
+        return j11, j12, j22, ht1, ht2, det, s11, s12, s22, mu1, mu2
+
+    def quad_latent(s11, s12, s22, mu1, mu2):
+        # Q_nk = E[(z−μ_k)ᵀΛ_k(z−μ_k)] (svae_smm._quad_latent, d=2).
+        return (
+            exp["prec11"] * (s11 + mu1 * mu1)
+            + 2.0 * exp["prec12"] * (s12 + mu1 * mu2)
+            + exp["prec22"] * (s22 + mu2 * mu2)
+            - 2.0 * (exp["pm1"] * mu1 + exp["pm2"] * mu2)
+            + exp["quad"]
+        )
+
+    if dof > 0.0:
+        a0 = b0 = 0.5 * dof
+        a = a0 + 1.0  # a₀ + d/2, d = 2
+        lg_a, lg_a0 = math.lgamma(a), math.lgamma(a0)
+        dg_a = _digamma_host(a)
+        e_u = 1.0
+        for _ in range(max(geom["smm_iters"], 1)):
+            _, _, _, _, _, _, s11, s12, s22, mu1, mu2 = z_planes(e_u)
+            gamma_b = b0 + 0.5 * quad_latent(s11, s12, s22, mu1, mu2)
+            e_u = a / gamma_b
+        if geom["smm_env"]:
+            # Envelope theorem: q(u) is at its coordinate optimum, so the
+            # cotangent through the u-rounds carries no signal.
+            gamma_b = jax.lax.stop_gradient(gamma_b)
+            e_u = a / gamma_b
+        j11, j12, j22, ht1, ht2, det, s11, s12, s22, mu1, mu2 = z_planes(e_u)
+        quad_f = quad_latent(s11, s12, s22, mu1, mu2)
+        logdet_j = jnp.log(det)
+        log_gb = jnp.log(gamma_b)
+        e_log_u = dg_a - log_gb
+        # −KL(q(u)‖p(u)) = E[log p(u)] + H[q(u)] (svae_smm.smm_combine).
+        u_free = (
+            a0 * math.log(b0)
+            - lg_a0
+            + (a0 - 1.0) * e_log_u
+            - b0 * e_u
+            + a
+            - log_gb
+            + lg_a
+            + (1.0 - a) * dg_a
+        )
+        log_rho = (
+            exp["log_pi"]
+            + e_log_u  # 0.5·d·E[log u], d = 2
+            - _LOG_2PI  # 0.5·d·log 2π
+            + 0.5 * exp["logdet"]
+            - 0.5 * e_u * exp["quad"]
+            + 0.5 * (mu1 * ht1 + mu2 * ht2)
+            - 0.5 * logdet_j
+            + u_free
+        )
+    else:
+        j11, j12, j22, ht1, ht2, det, s11, s12, s22, mu1, mu2 = z_planes(1.0)
+        logdet_j = jnp.log(det)
+        log_rho = (
+            exp["log_pi"]
+            + 0.5 * exp["logdet"]
+            - 0.5 * exp["quad"]
+            + 0.5 * (mu1 * ht1 + mu2 * ht2)
+            - 0.5 * logdet_j
+        )
     log_rho = jnp.where(k_maskc > 0.0, log_rho, _NEG)
     row_max = jnp.max(log_rho, axis=0, keepdims=True)
     log_se = jnp.log(
@@ -268,34 +355,52 @@ def _step_math(nn, exp, x_t, xs_t, eps, n_mask, k_maskc, *, geom):
     nks_mask = jnp.concatenate([n_mask] * (num_k * s), axis=1)
     recon = jnp.sum(r_all * ll * nks_mask) / float(s)
 
-    # Local KL (svae.local_kl_term), closed form on planes.
-    g_k = 0.5 * exp["logdet"] - _LOG_2PI - 0.5 * exp["quad"]  # (d/2)=1
-    cross = exp["pm1"] * mu1 + exp["pm2"] * mu2
-    tr_term = exp["prec11"] * s11 + 2.0 * exp["prec12"] * s12 + (
-        exp["prec22"] * s22
-    )
-    quad_mu = (
-        exp["prec11"] * mu1 * mu1
-        + 2.0 * exp["prec12"] * mu1 * mu2
-        + exp["prec22"] * mu2 * mu2
-    )
-    e_log_pbar = exp["log_pi"] + g_k + cross - 0.5 * (tr_term + quad_mu)
-    e_log_q = log_resp - (1.0 + _LOG_2PI) + 0.5 * logdet_j  # (d/2)=1
-    local = -jnp.sum(
-        resp * (e_log_pbar - e_log_q) * (n_mask * k_maskc)
-    )
+    if dof > 0.0:
+        # Local term Σ r̃ (A_nk − log r̃) with A the per-component free
+        # energy (svae_smm.forward: valid bound for any r̃).
+        e_log_pz = (
+            e_log_u - _LOG_2PI + 0.5 * exp["logdet"] - 0.5 * e_u * quad_f
+        )
+        h_z = (1.0 + _LOG_2PI) - 0.5 * logdet_j  # 0.5·d·(1+log 2π), d=2
+        free_energy = exp["log_pi"] + e_log_pz + h_z + u_free
+        local = -jnp.sum(
+            resp * (free_energy - log_resp) * (n_mask * k_maskc)
+        )
+    else:
+        # Local KL (svae.local_kl_term), closed form on planes.
+        g_k = 0.5 * exp["logdet"] - _LOG_2PI - 0.5 * exp["quad"]  # (d/2)=1
+        cross = exp["pm1"] * mu1 + exp["pm2"] * mu2
+        tr_term = exp["prec11"] * s11 + 2.0 * exp["prec12"] * s12 + (
+            exp["prec22"] * s22
+        )
+        quad_mu = (
+            exp["prec11"] * mu1 * mu1
+            + 2.0 * exp["prec12"] * mu1 * mu2
+            + exp["prec22"] * mu2 * mu2
+        )
+        e_log_pbar = exp["log_pi"] + g_k + cross - 0.5 * (tr_term + quad_mu)
+        e_log_q = log_resp - (1.0 + _LOG_2PI) + 0.5 * logdet_j  # (d/2)=1
+        local = -jnp.sum(
+            resp * (e_log_pbar - e_log_q) * (n_mask * k_maskc)
+        )
 
-    # CVI sufficient statistics (§9.5) from the posterior moments.
+    # CVI sufficient statistics (§9.5) from the posterior moments. The SMM
+    # prior weights the NIW moment stats by E[u] with the count increment
+    # unweighted (smm.SmmSuffStats: Δη₂ = Σ r̃ū ≠ Δη₄ = Σ r̃).
     rm = resp * n_mask
+    ru = rm * e_u if dof > 0.0 else rm
     counts = jnp.sum(rm, axis=1, keepdims=True)  # (K_pad, 1)
-    s1_1 = jnp.sum(rm * mu1, axis=1, keepdims=True)
-    s1_2 = jnp.sum(rm * mu2, axis=1, keepdims=True)
-    s2_11 = jnp.sum(rm * (s11 + mu1 * mu1), axis=1, keepdims=True)
-    s2_12 = jnp.sum(rm * (s12 + mu1 * mu2), axis=1, keepdims=True)
-    s2_22 = jnp.sum(rm * (s22 + mu2 * mu2), axis=1, keepdims=True)
+    u_counts = (
+        jnp.sum(ru, axis=1, keepdims=True) if dof > 0.0 else counts
+    )
+    s1_1 = jnp.sum(ru * mu1, axis=1, keepdims=True)
+    s1_2 = jnp.sum(ru * mu2, axis=1, keepdims=True)
+    s2_11 = jnp.sum(ru * (s11 + mu1 * mu1), axis=1, keepdims=True)
+    s2_12 = jnp.sum(ru * (s12 + mu1 * mu2), axis=1, keepdims=True)
+    s2_22 = jnp.sum(ru * (s22 + mu2 * mu2), axis=1, keepdims=True)
 
     neg_loss = -(recon - local) / float(num_total)
-    aux = (counts, s1_1, s1_2, s2_11, s2_12, s2_22, recon, local)
+    aux = (counts, u_counts, s1_1, s1_2, s2_11, s2_12, s2_22, recon, local)
     return neg_loss, aux
 
 
@@ -364,7 +469,7 @@ def _make_kernel(*, geom, lr, rho, t_steps, use_rng):
         )
         (neg_loss, vjp, aux) = jax.vjp(fn, nn, has_aux=True)
         (grads,) = vjp(jnp.ones((), jnp.float32))
-        counts, s1_1, s1_2, s2_11, s2_12, s2_22, recon, local = aux
+        counts, u_counts, s1_1, s1_2, s2_11, s2_12, s2_22, recon, local = aux
 
         # Adam (optax.adam defaults): m/v live stacked under each param.
         step_t = (scal_ref[0, 0] + t + 1).astype(jnp.float32)
@@ -382,9 +487,11 @@ def _make_kernel(*, geom, lr, rho, t_steps, use_rng):
             ref[2 * r : 3 * r, :] = v_new
 
         # CVI update η ← (1−ρ)η + ρ(η₀ + Δ) on the packed block (§9.5).
+        # Slot 3 (η₂) carries Σ r̃ū — identical to counts for the GMM.
         zcol = jnp.zeros_like(counts)
         delta = jnp.concatenate(
-            [counts, s1_1, s1_2, counts, s2_11, s2_12, s2_12, s2_22, counts]
+            [counts, s1_1, s1_2, u_counts, s2_11, s2_12, s2_12, s2_22,
+             counts]
             + [zcol] * (128 - 9),
             axis=1,
         )
@@ -493,13 +600,15 @@ def geom_key_tensors(geom):
 
 
 def make_geom(*, n, d_in, d_lat, k, s, h1, h2, num_total,
-              precision=jax.lax.Precision.HIGHEST):
+              precision=jax.lax.Precision.HIGHEST, dof=0.0, smm_iters=2,
+              smm_env=False):
     assert d_in == 2 and d_lat == 2, "tinystep supports d_in = d_lat = 2"
     return dict(
         n=n, n_pad=_round_up(n, 128), d_in=d_in, d_in_pad=8,
         d_lat=d_lat, d_lat_pad=8, k=k, k_pad=_round_up(k, 8), s=s,
         h1_pad=_round_up(h1, 8), h2_pad=_round_up(h2, 8),
-        num_total=num_total, precision=precision,
+        num_total=num_total, precision=precision, dof=float(dof),
+        smm_iters=int(smm_iters), smm_env=bool(smm_env),
     )
 
 
@@ -683,7 +792,9 @@ def train_chunk(state, prior: GmmNat, x: jnp.ndarray, *, lr: float,
                 rho: float, t_steps: int, num_samples: int = 4,
                 seed=0, eps: jnp.ndarray | None = None,
                 interpret: bool = False,
-                precision=jax.lax.Precision.HIGHEST):
+                precision=jax.lax.Precision.HIGHEST,
+                dof: float = 0.0, smm_iters: int = 2,
+                smm_envelope_grads: bool = False):
     """Run T complete train steps in one kernel launch.
 
     Semantically equivalent to T iterations of
@@ -694,6 +805,11 @@ def train_chunk(state, prior: GmmNat, x: jnp.ndarray, *, lr: float,
     (it changes nothing inside the step: no NN grad, CVI is stat-driven).
     The whole call — packing, kernel, unpacking — is ONE jitted program,
     so a training loop over chunks costs one dispatch per chunk.
+
+    ``dof > 0`` runs the Student-t-prior (SMM) step instead — oracle
+    ``make_train_step(..., model=svax.models.svae_smm)`` with
+    ``config.dof/smm_iters/smm_envelope_grads`` matching these arguments
+    (tests/test_tinystep_kernel.py SMM cases).
     """
     enc_w = state.nn_params["encoder"]
     dec_w = state.nn_params["decoder"]
@@ -703,6 +819,7 @@ def train_chunk(state, prior: GmmNat, x: jnp.ndarray, *, lr: float,
         n=x.shape[0], d_in=x.shape[1], d_lat=dec_w[0]["w"].shape[0],
         k=k, s=eps.shape[1] if eps is not None else num_samples,
         num_total=x.shape[0], h1=h1, h2=h2, precision=precision,
+        dof=dof, smm_iters=smm_iters, smm_env=smm_envelope_grads,
     )
     # Fold the step counter into the seed so back-to-back chunks with the
     # same (default) seed draw DIFFERENT noise: the kernel seeds each

@@ -115,8 +115,6 @@ def megakernel_unsupported_reason(
         return "megakernel is single-device (no data/component sharding)"
     if weight_decay > 0.0:
         return "megakernel implements plain Adam only (no weight decay)"
-    if getattr(config, "dof", 0.0) > 0.0:
-        return "megakernel supports the GMM prior only (no SMM u-rounds)"
     tiny_ok = (
         aug_noise == 0.0
         and rho_decay == 0.0
@@ -128,8 +126,11 @@ def megakernel_unsupported_reason(
             rho=rho,
         )
     )
+    # flexstep implements the GMM prior only; tinystep additionally owns
+    # the SMM (Student-t prior) u–z rounds behind its dof switch.
     flex_ok = (
-        input_dim > 0
+        getattr(config, "dof", 0.0) == 0.0
+        and input_dim > 0
         and (rho_decay > 0.0 or not callable(rho))
         and fsp.supported(
             config,
@@ -143,9 +144,10 @@ def megakernel_unsupported_reason(
     return (
         "outside both megakernel shape classes (tinystep: latent d=2, "
         "Gaussian likelihood, weighted recon, matched 2-hidden-layer MLPs, "
-        "full batch, constant rho, no augmentation, zero jitter; flexstep: "
-        "Gaussian likelihood, weighted recon, 2-hidden tanh MLPs, "
-        "d_in<=8, latent d<=6, constant or 1/(1+decay*t) rho)"
+        "full batch, constant rho, no augmentation, zero jitter, GMM or "
+        "SMM prior; flexstep: GMM prior, Gaussian likelihood, weighted "
+        "recon, 2-hidden tanh MLPs, d_in<=8, latent d<=6, constant or "
+        "1/(1+decay*t) rho)"
     )
 
 
@@ -245,10 +247,23 @@ def make_megakernel_runner(
                 state, prior, x, lr=lr, rho=rho, t_steps=t_steps,
                 num_samples=config.num_samples, seed=seed, eps=eps,
                 interpret=interpret, precision=precision,
+                dof=getattr(config, "dof", 0.0),
+                smm_iters=getattr(config, "smm_iters", 2),
+                smm_envelope_grads=getattr(
+                    config, "smm_envelope_grads", False
+                ),
             )
             return finish(state, mets, t_steps)
 
         return runner
+
+    if getattr(config, "dof", 0.0) > 0.0:
+        raise ValueError(
+            "flexstep implements the GMM prior only — the SMM (dof > 0) "
+            "megakernel path needs the tinystep shape class (full batch, "
+            "no augmentation, constant rho); check "
+            "megakernel_unsupported_reason before building the runner"
+        )
 
     def runner(state, x, t_steps: int, seed: int = 0):
         n = x.shape[0]

@@ -13,19 +13,21 @@ import numpy as np
 import optax
 
 from svax.data import make_pinwheel_data
-from svax.models import svae
+from svax.models import svae, svae_smm
 from svax.models.svae import SvaeConfig
 from svax.ops import tinystep_pallas as tsp
 from svax.pgm import gmm, natgrad
 from svax.train import svae_step
 
 
-def _setup(n=72, k=4, s=2, hidden=(16, 16), lr=3e-3, seed=0):
+def _setup(n=72, k=4, s=2, hidden=(16, 16), lr=3e-3, seed=0, dof=0.0,
+           smm_iters=2, smm_env=False):
     x64 = jnp.asarray(make_pinwheel_data(num_classes=3, num_per_class=n // 3,
                                          seed=seed)[:n])
     x = x64.astype(jnp.float32)
     config = SvaeConfig(latent_dim=2, num_components=k, num_samples=s,
-                        num_total=n)
+                        num_total=n, dof=dof, smm_iters=smm_iters,
+                        smm_envelope_grads=smm_env)
     prior = jax.tree.map(
         lambda a: a.astype(jnp.float32), gmm.make_prior(k, 2, kappa=0.05)
     )
@@ -41,12 +43,13 @@ def _setup(n=72, k=4, s=2, hidden=(16, 16), lr=3e-3, seed=0):
     return x, config, prior, opt, state
 
 
-def _oracle_steps(state, prior, x, eps_all, config, opt, rho):
+def _oracle_steps(state, prior, x, eps_all, config, opt, rho, model=svae):
     """T explicit XLA steps at the injected eps (mirrors make_train_step)."""
+    stats_to_nat = getattr(model, "stats_to_nat", gmm.stats_to_nat)
 
     def loss_fn(nn_params, pgm_nat, eps):
-        out = svae.forward(nn_params, pgm_nat, prior, x,
-                           jax.random.PRNGKey(0), config, eps=eps)
+        out = model.forward(nn_params, pgm_nat, prior, x,
+                            jax.random.PRNGKey(0), config, eps=eps)
         return -out.elbo / config.num_total, out
 
     metrics = {"recon": [], "local_kl": [], "neg_loss": []}
@@ -57,7 +60,7 @@ def _oracle_steps(state, prior, x, eps_all, config, opt, rho):
         updates, opt_state = opt.update(grads, state.opt_state,
                                         state.nn_params)
         nn_params = optax.apply_updates(state.nn_params, updates)
-        inc = gmm.stats_to_nat(out.suff_stats)
+        inc = stats_to_nat(out.suff_stats)
         pgm_nat = natgrad.cvi_update(state.pgm_nat, prior, inc, rho)
         state = svae_step.SvaeTrainState(
             nn_params=nn_params, opt_state=opt_state, pgm_nat=pgm_nat,
@@ -78,8 +81,9 @@ def _assert_tree_close(a, b, rtol, atol, what):
 
 
 def _run_and_compare(t_steps, n=72, k=4, s=2, hidden=(16, 16), rho=0.2,
-                     lr=3e-3, seed=0):
-    x, config, prior, opt, state = _setup(n, k, s, hidden, lr, seed)
+                     lr=3e-3, seed=0, dof=0.0, smm_iters=2, smm_env=False):
+    x, config, prior, opt, state = _setup(n, k, s, hidden, lr, seed, dof,
+                                          smm_iters, smm_env)
     rng = np.random.default_rng(seed + 100)
     eps_all = jnp.asarray(
         rng.standard_normal((t_steps, s, n, k, 2)).astype(np.float32)
@@ -87,9 +91,12 @@ def _run_and_compare(t_steps, n=72, k=4, s=2, hidden=(16, 16), rho=0.2,
 
     st_k, mets_k = tsp.train_chunk(
         state, prior, x, lr=lr, rho=rho, t_steps=t_steps, eps=eps_all,
-        interpret=True,
+        interpret=True, dof=dof, smm_iters=smm_iters,
+        smm_envelope_grads=smm_env,
     )
-    st_o, mets_o = _oracle_steps(state, prior, x, eps_all, config, opt, rho)
+    model = svae if dof == 0.0 else svae_smm
+    st_o, mets_o = _oracle_steps(state, prior, x, eps_all, config, opt, rho,
+                                 model=model)
 
     _assert_tree_close(st_k.nn_params, st_o.nn_params, 5e-4, 5e-5,
                        "nn params")
@@ -120,6 +127,24 @@ def test_odd_shapes():
     """K not a sublane multiple, N not a lane multiple, S=1, bigger MLPs."""
     _run_and_compare(t_steps=2, n=150, k=5, s=1, hidden=(20, 12), rho=0.5,
                      seed=3)
+
+
+def test_smm_prior_matches_oracle():
+    """dof > 0: the kernel's u–z coordinate rounds + Gamma free-energy
+    terms track svae_smm.forward exactly (full-chain gradients)."""
+    _run_and_compare(t_steps=2, dof=4.0, smm_iters=2)
+
+
+def test_smm_envelope_grads_matches_oracle():
+    """Envelope-theorem gradients: the in-kernel stop_gradient on q(u)
+    mirrors config.smm_envelope_grads in the XLA oracle."""
+    _run_and_compare(t_steps=2, dof=4.0, smm_iters=2, smm_env=True)
+
+
+def test_smm_odd_shapes():
+    """SMM prior at padded K/N, S=1, one u-round, heavier tails."""
+    _run_and_compare(t_steps=2, n=150, k=5, s=1, hidden=(20, 12), rho=0.5,
+                     seed=3, dof=2.5, smm_iters=1)
 
 
 def test_supported_gate():
