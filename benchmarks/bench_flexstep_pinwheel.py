@@ -81,10 +81,13 @@ def main() -> None:
             lambda a: a.astype(jnp.float32)
             if jnp.issubdtype(a.dtype, jnp.floating) else a, st)
 
+    # force_flex: tinystep owns aug>0 full-batch d=2 workloads since its
+    # in-kernel augmentation landed; this bench measures FLEXSTEP at the
+    # pinwheel shape specifically (the engine A/B's other arm).
     runner = make_megakernel_runner(
         config, prior, lr=lr, rho=rho, batch_size=0,
         aug_noise=args.aug_noise, encoder_hidden=hidden,
-        decoder_hidden=hidden)
+        decoder_hidden=hidden, force_flex=True)
 
     # ------------------------------------------------------------ throughput
     t1 = args.t_steps

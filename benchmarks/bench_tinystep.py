@@ -35,6 +35,10 @@ def main() -> None:
                     help="MXU passes for the THROUGHPUT stage (parity "
                          "always runs HIGHEST); 'default' = single-pass "
                          "bf16 inputs, f32 accumulate")
+    ap.add_argument("--aug-noise", type=float, default=0.0,
+                    help="in-kernel input-noise augmentation sigma for the "
+                         "throughput stage (the seed-robustness recipe; "
+                         "one extra HW-PRNG draw per step)")
     args = ap.parse_args()
 
     import jax
@@ -138,7 +142,7 @@ def main() -> None:
     t0 = time.perf_counter()
     st, mets = tsp.train_chunk(state, prior, x, lr=lr, rho=rho,
                                t_steps=t_steps, num_samples=s, seed=1,
-                               precision=prec)
+                               precision=prec, aug_noise=args.aug_noise)
     float(st.pgm_nat.dir_nat[0])  # host-read sync: block_until_ready can
     #                               return early through the remote tunnel
     print(f"[tput] compile+first chunk: {time.perf_counter()-t0:.1f}s  "
@@ -150,7 +154,8 @@ def main() -> None:
         t0 = time.perf_counter()
         st, mets = tsp.train_chunk(st, prior, x, lr=lr, rho=rho,
                                    t_steps=t_steps, num_samples=s,
-                                   seed=2 + i, precision=prec)
+                                   seed=2 + i, precision=prec,
+                                   aug_noise=args.aug_noise)
         float(st.pgm_nat.dir_nat[0])  # host-read sync (see above)
         times.append(time.perf_counter() - t0)
     times.sort()
@@ -161,6 +166,7 @@ def main() -> None:
     print(json.dumps({
         "metric": "tinystep_megakernel_steps_per_sec",
         "precision": args.precision,
+        "aug_noise": args.aug_noise,
         "value": round(sps, 1),
         "us_per_step": round(1e6 * dt / t_steps, 2),
         "t_steps_per_launch": t_steps,

@@ -34,6 +34,13 @@ CONFIGS: dict[str, dict] = {
         # Measured best on v5e (benchmarks/bench_chunks.py): 8799 steps/s
         # at chunk 1000 vs 1858 at 100 — dispatch latency dominates below.
         scan_chunk=1000,
+        # On TPU the tinystep megakernel runs the FULL recipe (in-kernel
+        # input-noise augmentation, round 4) at 17.5k steps/s and
+        # reproduces the canonical 8-seed quality table (-5.353+-0.081,
+        # 6/8 crossing — runs/seed_sweep_r4_mega_default.json), so the
+        # headline engine and the quality recipe are the same trainer.
+        # Off-TPU "auto" falls back to the xla scan path.
+        engine="auto",
     ),
     # BASELINE config #2
     "pinwheel-gmm": dict(

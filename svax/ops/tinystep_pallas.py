@@ -34,7 +34,12 @@ Noise: ε can be streamed per step (tests inject it to match the XLA
 oracle exactly) or generated in-kernel from the hardware PRNG
 (``pltpu.prng_random_bits`` + Box–Muller) — the production mode, since
 generating T·S·N·K·d normals with XLA outside would cost more than the
-whole step. Gradients/updates are identical either way.
+whole step. Gradients/updates are identical either way. The shipped
+seed-robustness recipe's input-noise augmentation (``aug_noise``,
+BASELINE.md seed table) runs in-kernel the same way: one extra
+(8, N_pad) Box–Muller draw per grid step perturbs the resident data
+plane (x + σ·ξ), so the quality recipe and the headline throughput
+describe the SAME trainer (VERDICT r3 item 1).
 
 Scope gate (the headline config's shape class): latent d=2, Gaussian
 likelihood, tanh MLPs with exactly two hidden layers, full batch,
@@ -415,17 +420,26 @@ def _make_kernel(*, geom, lr, rho, t_steps, use_rng):
     names = geom["tensor_names"]
     rows = geom["tensor_rows"]
 
+    aug = geom["aug"]
+
     def kernel(*refs):
-        # inputs: scalars(SMEM), x, xs, prior, [eps], init×12, nat0
+        # inputs: scalars(SMEM), x, [xs], prior, [eps], [aug_eps],
+        #         init×12, nat0   (xs only when aug == 0: with
+        #         augmentation the K·S-tiled copy is rebuilt in-kernel
+        #         from the perturbed plane each step)
         # outputs: state×12, nat, metrics
         idx = 0
         scal_ref = refs[idx]; idx += 1
         x_ref = refs[idx]; idx += 1
-        xs_ref = refs[idx]; idx += 1
+        xs_ref = None
+        if aug == 0.0:
+            xs_ref = refs[idx]; idx += 1
         prior_ref = refs[idx]; idx += 1
-        eps_ref = None
+        eps_ref = aug_ref = None
         if not use_rng:
             eps_ref = refs[idx]; idx += 1
+            if aug > 0.0:
+                aug_ref = refs[idx]; idx += 1
         init_refs = refs[idx : idx + 12]; idx += 12
         nat0_ref = refs[idx]; idx += 1
         state_refs = refs[idx : idx + 12]; idx += 12
@@ -459,12 +473,39 @@ def _make_kernel(*, geom, lr, rho, t_steps, use_rng):
         else:
             eps = eps_ref[:]
 
+        if aug > 0.0:
+            # Input-noise augmentation x + σ·ξ on the resident plane —
+            # an independent PRNG stream (base offset 2^30 keeps it off
+            # the ε bases t < T). ξ is masked to the real input rows;
+            # padded batch columns stay masked downstream as always.
+            if use_rng:
+                xi = _tile_prng_normals(
+                    scal_ref[0, 1], t + (1 << 30), 1, geom["d_in_pad"],
+                    n_pad,
+                )
+            else:
+                xi = aug_ref[:]
+            d_mask = (
+                jax.lax.broadcasted_iota(
+                    jnp.int32, (geom["d_in_pad"], 1), 0
+                )
+                < geom["d_in"]
+            ).astype(jnp.float32)
+            x_t = x_ref[:] + jnp.float32(aug) * xi * d_mask
+            tile_row = lambda i: jnp.concatenate(  # noqa: E731
+                [x_t[i : i + 1, :]] * (num_k * s), axis=1
+            )
+            xs_t = jnp.concatenate([tile_row(0), tile_row(1)], axis=0)
+        else:
+            x_t = x_ref[:]
+            xs_t = xs_ref[:]
+
         nn = {nm: state_refs[i][: rows[i], :] for i, nm in enumerate(names)}
         nat = nat_ref[:]
         exp = _expected_cols(nat, k_maskc, num_k)
 
         fn = functools.partial(
-            _step_math, exp=exp, x_t=x_ref[:], xs_t=xs_ref[:], eps=eps,
+            _step_math, exp=exp, x_t=x_t, xs_t=xs_t, eps=eps,
             n_mask=n_mask, k_maskc=k_maskc, geom=geom,
         )
         (neg_loss, vjp, aux) = jax.vjp(fn, nn, has_aux=True)
@@ -536,18 +577,29 @@ def _chunk_call(packed, t_steps, lr, rho, geom_key, interpret):
         pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars (1, 2) int32
         pl.BlockSpec((geom["d_in_pad"], n_pad), fixed2,
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((geom["d_in_pad"], geom["k"] * s * n_pad), fixed2,
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((k_pad, 128), fixed2, memory_space=pltpu.VMEM),
     ]
-    inputs = [packed["scalars"], packed["x_t"], packed["xs_t"],
-              packed["prior"]]
+    inputs = [packed["scalars"], packed["x_t"]]
+    if geom["aug"] == 0.0:
+        in_specs.append(
+            pl.BlockSpec((geom["d_in_pad"], geom["k"] * s * n_pad), fixed2,
+                         memory_space=pltpu.VMEM)
+        )
+        inputs.append(packed["xs_t"])
+    in_specs.append(pl.BlockSpec((k_pad, 128), fixed2,
+                                 memory_space=pltpu.VMEM))
+    inputs.append(packed["prior"])
     if not use_rng:
         in_specs.append(
             pl.BlockSpec((s * 2 * k_pad, n_pad), lambda t: (t, 0),
                          memory_space=pltpu.VMEM)
         )
         inputs.append(packed["eps"])
+        if geom["aug"] > 0.0:
+            in_specs.append(
+                pl.BlockSpec((geom["d_in_pad"], n_pad), lambda t: (t, 0),
+                             memory_space=pltpu.VMEM)
+            )
+            inputs.append(packed["aug_eps"])
     in_specs += state_specs
     inputs += [packed[nm] for nm, _ in tensors]
     in_specs.append(pl.BlockSpec((k_pad, 128), fixed2,
@@ -601,14 +653,14 @@ def geom_key_tensors(geom):
 
 def make_geom(*, n, d_in, d_lat, k, s, h1, h2, num_total,
               precision=jax.lax.Precision.HIGHEST, dof=0.0, smm_iters=2,
-              smm_env=False):
+              smm_env=False, aug=0.0):
     assert d_in == 2 and d_lat == 2, "tinystep supports d_in = d_lat = 2"
     return dict(
         n=n, n_pad=_round_up(n, 128), d_in=d_in, d_in_pad=8,
         d_lat=d_lat, d_lat_pad=8, k=k, k_pad=_round_up(k, 8), s=s,
         h1_pad=_round_up(h1, 8), h2_pad=_round_up(h2, 8),
         num_total=num_total, precision=precision, dof=float(dof),
-        smm_iters=int(smm_iters), smm_env=bool(smm_env),
+        smm_iters=int(smm_iters), smm_env=bool(smm_env), aug=float(aug),
     )
 
 
@@ -661,13 +713,15 @@ def _unpack_nat_block(block: jnp.ndarray, geom) -> GmmNat:
 
 
 def pack_state(state, prior: GmmNat, x: jnp.ndarray, geom,
-               eps: jnp.ndarray | None = None, seed: int = 0) -> dict:
+               eps: jnp.ndarray | None = None, seed: int = 0,
+               aug_eps: jnp.ndarray | None = None) -> dict:
     """SvaeTrainState + data → the kernel's padded plane dict.
 
     ``eps`` (T, S, N, K, d) switches the kernel to injected noise (tests);
     None uses the in-kernel hardware PRNG seeded by (seed, grid step);
     train_chunk folds state.step into the seed so consecutive chunks
-    never replay the same stream.
+    never replay the same stream. ``aug_eps`` (T, N, d_in) injects the
+    augmentation noise the same way when ``geom['aug'] > 0``.
     """
     enc = state.nn_params["encoder"]
     dec = state.nn_params["decoder"]
@@ -694,8 +748,11 @@ def pack_state(state, prior: GmmNat, x: jnp.ndarray, geom,
     x_t = jnp.pad(jnp.asarray(x, jnp.float32).T,
                   ((0, geom["d_in_pad"] - geom["d_in"]), (0, n_pad - n)))
     packed["x_t"] = x_t
-    # K·S lane-tiled data for the one-block decoder recon (k-major, then s).
-    packed["xs_t"] = jnp.concatenate([x_t] * (geom["k"] * s), axis=1)
+    if geom["aug"] == 0.0:
+        # K·S lane-tiled data for the one-block decoder recon (k-major,
+        # then s); with augmentation the kernel rebuilds this from the
+        # perturbed plane each step instead.
+        packed["xs_t"] = jnp.concatenate([x_t] * (geom["k"] * s), axis=1)
     packed["nat"] = _pack_nat_block(state.pgm_nat, geom)
     packed["prior"] = _pack_nat_block(prior, geom)
     packed["scalars"] = jnp.stack(
@@ -709,6 +766,13 @@ def pack_state(state, prior: GmmNat, x: jnp.ndarray, geom,
         e = jnp.pad(e, ((0, 0), (0, 0), (0, 0), (0, k_pad - k),
                         (0, n_pad - n)))
         packed["eps"] = e.reshape(t_steps * s * 2 * k_pad, n_pad)
+    if aug_eps is not None and geom["aug"] > 0.0:
+        # (T, N, d_in) → (T·d_in_pad, N_pad) plane rows.
+        t_steps = aug_eps.shape[0]
+        a = jnp.transpose(jnp.asarray(aug_eps, jnp.float32), (0, 2, 1))
+        a = jnp.pad(a, ((0, 0), (0, geom["d_in_pad"] - geom["d_in"]),
+                        (0, n_pad - n)))
+        packed["aug_eps"] = a.reshape(t_steps * geom["d_in_pad"], n_pad)
     return packed
 
 
@@ -794,7 +858,9 @@ def train_chunk(state, prior: GmmNat, x: jnp.ndarray, *, lr: float,
                 interpret: bool = False,
                 precision=jax.lax.Precision.HIGHEST,
                 dof: float = 0.0, smm_iters: int = 2,
-                smm_envelope_grads: bool = False):
+                smm_envelope_grads: bool = False,
+                aug_noise: float = 0.0,
+                aug_eps: jnp.ndarray | None = None):
     """Run T complete train steps in one kernel launch.
 
     Semantically equivalent to T iterations of
@@ -810,7 +876,17 @@ def train_chunk(state, prior: GmmNat, x: jnp.ndarray, *, lr: float,
     ``make_train_step(..., model=svax.models.svae_smm)`` with
     ``config.dof/smm_iters/smm_envelope_grads`` matching these arguments
     (tests/test_tinystep_kernel.py SMM cases).
+
+    ``aug_noise > 0`` trains on x + σ·ξ per step (the seed-robustness
+    recipe, ``svax.train.loop.augment_step`` semantics) with ξ drawn
+    in-kernel from the hardware PRNG, or injected via ``aug_eps``
+    (T, N, d_in) in interpret/test mode.
     """
+    if aug_noise > 0.0 and (eps is None) != (aug_eps is None):
+        raise ValueError(
+            "aug_noise > 0 with injected noise needs BOTH eps and aug_eps "
+            "(or neither, for the in-kernel hardware PRNG)"
+        )
     enc_w = state.nn_params["encoder"]
     dec_w = state.nn_params["decoder"]
     h1, h2 = enc_w[0]["w"].shape[1], enc_w[1]["w"].shape[1]
@@ -820,6 +896,7 @@ def train_chunk(state, prior: GmmNat, x: jnp.ndarray, *, lr: float,
         k=k, s=eps.shape[1] if eps is not None else num_samples,
         num_total=x.shape[0], h1=h1, h2=h2, precision=precision,
         dof=dof, smm_iters=smm_iters, smm_env=smm_envelope_grads,
+        aug=aug_noise,
     )
     # Fold the step counter into the seed so back-to-back chunks with the
     # same (default) seed draw DIFFERENT noise: the kernel seeds each
@@ -827,8 +904,8 @@ def train_chunk(state, prior: GmmNat, x: jnp.ndarray, *, lr: float,
     # otherwise replay bit-identical eps streams chunk after chunk.
     seed = jnp.asarray(seed, jnp.int32) + state.step.astype(jnp.int32)
     return _train_chunk_jit(
-        state, prior, x, seed, eps, _geom_key(geom), float(lr), float(rho),
-        int(t_steps), interpret,
+        state, prior, x, seed, eps, aug_eps, _geom_key(geom), float(lr),
+        float(rho), int(t_steps), interpret,
     )
 
 
@@ -836,10 +913,11 @@ def train_chunk(state, prior: GmmNat, x: jnp.ndarray, *, lr: float,
     jax.jit,
     static_argnames=("geom_key", "lr", "rho", "t_steps", "interpret"),
 )
-def _train_chunk_jit(state, prior, x, seed, eps, geom_key, lr, rho,
+def _train_chunk_jit(state, prior, x, seed, eps, aug_eps, geom_key, lr, rho,
                      t_steps, interpret):
     geom = dict(geom_key)
-    packed = pack_state(state, prior, x, geom, eps=eps, seed=seed)
+    packed = pack_state(state, prior, x, geom, eps=eps, seed=seed,
+                        aug_eps=aug_eps)
     new_packed, metrics = _chunk_call(
         packed, t_steps, lr, rho, geom_key, interpret
     )

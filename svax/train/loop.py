@@ -99,8 +99,9 @@ def megakernel_unsupported_reason(
     """Why no SVAE megakernel can run this workload (None = one can).
 
     Two whole-train-step kernels share the engine: ``tinystep_pallas``
-    (the headline pinwheel class — d=2, full batch, constant ρ, no
-    augmentation) and ``flexstep_pallas`` (small-d minibatch class —
+    (the headline pinwheel class — d=2, full batch, constant ρ;
+    input-noise augmentation runs in-kernel via the hardware PRNG) and
+    ``flexstep_pallas`` (small-d minibatch class —
     d_in ≤ 8, latent d ≤ 6, Gaussian likelihood, 2-hidden tanh MLPs,
     constant-or-inverse-decay ρ, minibatch/augmentation via the streamed
     batch stack; ``input_dim`` must be given for it to be considered).
@@ -116,8 +117,7 @@ def megakernel_unsupported_reason(
     if weight_decay > 0.0:
         return "megakernel implements plain Adam only (no weight decay)"
     tiny_ok = (
-        aug_noise == 0.0
-        and rho_decay == 0.0
+        rho_decay == 0.0
         and tsp.supported(
             config,
             batch_full=batch_full,
@@ -144,10 +144,11 @@ def megakernel_unsupported_reason(
     return (
         "outside both megakernel shape classes (tinystep: latent d=2, "
         "Gaussian likelihood, weighted recon, matched 2-hidden-layer MLPs, "
-        "full batch, constant rho, no augmentation, zero jitter, GMM or "
-        "SMM prior; flexstep: GMM prior, Gaussian likelihood, weighted "
-        "recon, 2-hidden tanh MLPs, d_in<=8, latent d<=6, constant or "
-        "1/(1+decay*t) rho)"
+        "full batch, constant rho, zero jitter, GMM or SMM prior, "
+        "in-kernel input-noise augmentation; flexstep: GMM prior, "
+        "Gaussian likelihood, weighted recon, 2-hidden tanh MLPs, "
+        "d_in<=8, latent d<=6, constant or 1/(1+decay*t) rho, "
+        "augmentation on the streamed batch stack)"
     )
 
 
@@ -163,6 +164,7 @@ def make_megakernel_runner(
     encoder_hidden=None,
     decoder_hidden=None,
     interpret: bool | None = None,
+    force_flex: bool = False,
 ) -> Callable:
     """Chunk runner driving a whole-train-step Pallas megakernel.
 
@@ -174,9 +176,11 @@ def make_megakernel_runner(
     ρ₀ (the schedule ρ₀/(1+decay·t) is computed in-kernel when
     ``rho_decay > 0``). Two kernels share this interface: the headline
     ``tinystep`` kernel when the workload is full-batch d=2 with constant
-    ρ and no augmentation, else the generalized ``flexstep`` kernel
-    (minibatch sampling and input-noise augmentation happen on the
-    streamed batch stack outside the kernel, preserving exact semantics).
+    ρ (input-noise augmentation runs IN-kernel — one extra hardware-PRNG
+    draw perturbs the resident data plane per step), else the generalized
+    ``flexstep`` kernel (minibatch sampling and augmentation happen on
+    the streamed batch stack outside the kernel; ``force_flex`` pins it
+    for A/B benches).
 
     Metric parity with the XLA step: per-step ``recon``/``local_kl`` are
     exact; ``global_kl`` is evaluated once at the post-chunk naturals
@@ -205,8 +209,8 @@ def make_megakernel_runner(
 
     use_tiny = (
         batch_size == 0
-        and aug_noise == 0.0
         and rho_decay == 0.0
+        and not force_flex
         and (
             encoder_hidden is None
             or tsp.supported(
@@ -231,7 +235,7 @@ def make_megakernel_runner(
     if use_tiny:
 
         def runner(state, x, t_steps: int, seed: int = 0):
-            eps = None
+            eps = aug_eps = None
             if interpret:
                 k_eps = jax.random.fold_in(
                     jax.random.PRNGKey(seed), state.step.astype(jnp.int32)
@@ -243,6 +247,11 @@ def make_megakernel_runner(
                      config.latent_dim),
                     jnp.float32,
                 )
+                if aug_noise > 0.0:
+                    aug_eps = jax.random.normal(
+                        jax.random.fold_in(k_eps, 7),
+                        (t_steps, n, x.shape[1]), jnp.float32,
+                    )
             state, mets = tsp.train_chunk(
                 state, prior, x, lr=lr, rho=rho, t_steps=t_steps,
                 num_samples=config.num_samples, seed=seed, eps=eps,
@@ -252,6 +261,7 @@ def make_megakernel_runner(
                 smm_envelope_grads=getattr(
                     config, "smm_envelope_grads", False
                 ),
+                aug_noise=aug_noise, aug_eps=aug_eps,
             )
             return finish(state, mets, t_steps)
 

@@ -43,19 +43,25 @@ def _setup(n=72, k=4, s=2, hidden=(16, 16), lr=3e-3, seed=0, dof=0.0,
     return x, config, prior, opt, state
 
 
-def _oracle_steps(state, prior, x, eps_all, config, opt, rho, model=svae):
-    """T explicit XLA steps at the injected eps (mirrors make_train_step)."""
+def _oracle_steps(state, prior, x, eps_all, config, opt, rho, model=svae,
+                  x_all=None):
+    """T explicit XLA steps at the injected eps (mirrors make_train_step).
+
+    ``x_all`` (T, N, d) optionally trains on per-step data — the
+    augmentation-recipe oracle (loop.augment_step semantics at matched
+    noise)."""
     stats_to_nat = getattr(model, "stats_to_nat", gmm.stats_to_nat)
 
-    def loss_fn(nn_params, pgm_nat, eps):
-        out = model.forward(nn_params, pgm_nat, prior, x,
+    def loss_fn(nn_params, pgm_nat, xb, eps):
+        out = model.forward(nn_params, pgm_nat, prior, xb,
                             jax.random.PRNGKey(0), config, eps=eps)
         return -out.elbo / config.num_total, out
 
     metrics = {"recon": [], "local_kl": [], "neg_loss": []}
     for t in range(eps_all.shape[0]):
+        xb = x if x_all is None else x_all[t]
         (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.nn_params, state.pgm_nat, eps_all[t]
+            state.nn_params, state.pgm_nat, xb, eps_all[t]
         )
         updates, opt_state = opt.update(grads, state.opt_state,
                                         state.nn_params)
@@ -81,22 +87,29 @@ def _assert_tree_close(a, b, rtol, atol, what):
 
 
 def _run_and_compare(t_steps, n=72, k=4, s=2, hidden=(16, 16), rho=0.2,
-                     lr=3e-3, seed=0, dof=0.0, smm_iters=2, smm_env=False):
+                     lr=3e-3, seed=0, dof=0.0, smm_iters=2, smm_env=False,
+                     aug=0.0):
     x, config, prior, opt, state = _setup(n, k, s, hidden, lr, seed, dof,
                                           smm_iters, smm_env)
     rng = np.random.default_rng(seed + 100)
     eps_all = jnp.asarray(
         rng.standard_normal((t_steps, s, n, k, 2)).astype(np.float32)
     )
+    aug_eps = x_all = None
+    if aug > 0.0:
+        aug_eps = jnp.asarray(
+            rng.standard_normal((t_steps, n, 2)).astype(np.float32)
+        )
+        x_all = x[None] + aug * aug_eps
 
     st_k, mets_k = tsp.train_chunk(
         state, prior, x, lr=lr, rho=rho, t_steps=t_steps, eps=eps_all,
         interpret=True, dof=dof, smm_iters=smm_iters,
-        smm_envelope_grads=smm_env,
+        smm_envelope_grads=smm_env, aug_noise=aug, aug_eps=aug_eps,
     )
     model = svae if dof == 0.0 else svae_smm
     st_o, mets_o = _oracle_steps(state, prior, x, eps_all, config, opt, rho,
-                                 model=model)
+                                 model=model, x_all=x_all)
 
     _assert_tree_close(st_k.nn_params, st_o.nn_params, 5e-4, 5e-5,
                        "nn params")
@@ -145,6 +158,44 @@ def test_smm_odd_shapes():
     """SMM prior at padded K/N, S=1, one u-round, heavier tails."""
     _run_and_compare(t_steps=2, n=150, k=5, s=1, hidden=(20, 12), rho=0.5,
                      seed=3, dof=2.5, smm_iters=1)
+
+
+def test_aug_noise_matches_oracle():
+    """In-kernel input-noise augmentation == augment_step semantics at
+    matched ξ: the kernel trains on x + σ·ξ each step (recon targets AND
+    encoder inputs both perturbed), mirroring the seed-robustness recipe."""
+    _run_and_compare(t_steps=2, aug=0.4)
+
+
+def test_aug_noise_odd_shapes():
+    """Augmentation at padded K/N (masking of the perturbed plane)."""
+    _run_and_compare(t_steps=2, n=150, k=5, s=1, hidden=(20, 12), rho=0.5,
+                     seed=3, aug=0.25)
+
+
+def test_runner_routes_aug_to_tinystep():
+    """make_megakernel_runner: aug>0 full-batch d=2 runs the tinystep
+    kernel in-kernel-augmentation path (flexstep only under force_flex)."""
+    from svax.train.loop import make_megakernel_runner
+
+    x, config, prior, opt, state = _setup(n=72, k=4, s=2)
+    runner = make_megakernel_runner(
+        config, prior, lr=3e-3, rho=0.2, batch_size=0, aug_noise=0.4,
+        encoder_hidden=(16, 16), decoder_hidden=(16, 16), interpret=True)
+    st, mets = runner(state, x, 2, seed=0)
+    assert int(st.step) == 2
+    assert np.isfinite(np.asarray(mets["elbo"])).all()
+    # tinystep trains on the FULL batch each step: its stats keep the
+    # full-N scale (flexstep at batch 72 would too here, so instead pin
+    # the route by checking force_flex produces a different eps stream →
+    # different naturals at the same seed).
+    runner_f = make_megakernel_runner(
+        config, prior, lr=3e-3, rho=0.2, batch_size=0, aug_noise=0.4,
+        encoder_hidden=(16, 16), decoder_hidden=(16, 16), interpret=True,
+        force_flex=True)
+    st_f, _ = runner_f(state, x, 2, seed=0)
+    assert not np.allclose(np.asarray(st.pgm_nat.dir_nat),
+                           np.asarray(st_f.pgm_nat.dir_nat))
 
 
 def test_supported_gate():
