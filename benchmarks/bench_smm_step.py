@@ -136,10 +136,23 @@ def main() -> None:
     rows["smm_envelope"] = _steps_per_sec(
         SvaeConfig(**base, dof=4.0, smm_iters=2, smm_envelope_grads=True),
         x, smm=True)
+    # Megakernel rows at BOTH dot precisions: the default HIGH config maps
+    # to HIGHEST (6-pass) kernel dots — parity-class but MXU-pass-bound at
+    # this shape (~121 µs/step, docs/DESIGN.md §3c); the headline engine
+    # runs DEFAULT single-pass bf16 dots. The SMM u–z rounds themselves
+    # are nearly free (measured: iters 1/2/4 within noise at HIGHEST).
+    dflt = jax.lax.Precision.DEFAULT
     rows["smm_mega_envelope"] = _mega_steps_per_sec(
         SvaeConfig(**base, dof=4.0, smm_iters=2, smm_envelope_grads=True), x)
     rows["smm_mega_full_bwd"] = _mega_steps_per_sec(
         SvaeConfig(**base, dof=4.0, smm_iters=2), x)
+    rows["smm_mega_envelope_default"] = _mega_steps_per_sec(
+        SvaeConfig(**base, dof=4.0, smm_iters=2, smm_envelope_grads=True,
+                   nn_precision=dflt), x)
+    rows["smm_mega_full_bwd_default"] = _mega_steps_per_sec(
+        SvaeConfig(**base, dof=4.0, smm_iters=2, nn_precision=dflt), x)
+    rows["gmm_mega_default"] = _mega_steps_per_sec(
+        SvaeConfig(**base, nn_precision=dflt), x)
     print(json.dumps({
         "shape": "pinwheel N=400 K=10 d=2 S=4",
         "steps_per_sec": {k: round(v, 1) for k, v in rows.items()},
@@ -150,6 +163,8 @@ def main() -> None:
             rows["smm_envelope"] / rows["smm_full_bwd"], 2),
         "mega_vs_xla_envelope": round(
             rows["smm_mega_envelope"] / rows["smm_envelope"], 2),
+        "mega_default_vs_xla_envelope": round(
+            rows["smm_mega_envelope_default"] / rows["smm_envelope"], 2),
     }), flush=True)
 
 
