@@ -89,6 +89,12 @@ CONFIGS: dict[str, dict] = {
         rho_decay=0.001,
         alpha=1.0,
         kappa=0.05,
+        # Anti-collapse recipe (svax/train/warmup.py): with latent 8 ≠
+        # input 784 the components can't seed from data and CVI collapses
+        # the mixture (purity 0.117, 1/10 components alive). 1000 rho=0
+        # warmup steps + k-means++ reseed of the encoded means fixes it
+        # (purity 1.0 on the surrogate; tests/test_mnist_quality_pin.py).
+        warmup_steps=1000,
         scan_chunk=200,  # 2337 steps/s measured (bench_chunks.py)
         # +19% measured (0.395 vs 0.470 ms/step, benchmarks/mfu.py); the
         # trajectory at the measured horizon matched f32 within noise.
@@ -113,6 +119,10 @@ CONFIGS: dict[str, dict] = {
         steps=5000,
         batch_size=1024,
         lr=1e-3,
+        # Same anti-collapse warmup as mnist-svae (latent 10 ≠ input 784);
+        # k-means++ seeding also cuts the dead-component rate at K=100
+        # (svax/pgm/init.py docstring).
+        warmup_steps=1000,
         rho=0.1,
         rho_decay=0.001,
         alpha=0.5,

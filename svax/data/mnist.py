@@ -42,17 +42,28 @@ def _read_idx(path: Path) -> np.ndarray:
     return data.reshape(dims)
 
 
-def _find_real_mnist() -> tuple[np.ndarray, np.ndarray] | None:
+def _find_real_mnist() -> (
+    tuple[np.ndarray, np.ndarray, np.ndarray | None, np.ndarray | None]
+    | None
+):
+    """(x_train, x_test, y_train, y_test) — labels None when absent."""
     for directory in _candidate_dirs():
         npz = directory / "mnist.npz"
         if npz.exists():
             with np.load(npz) as z:
-                return z["x_train"], z["x_test"]
+                y_tr = z["y_train"] if "y_train" in z.files else None
+                y_te = z["y_test"] if "y_test" in z.files else None
+                return z["x_train"], z["x_test"], y_tr, y_te
         for suffix in ("", ".gz"):
             tr = directory / f"train-images-idx3-ubyte{suffix}"
             te = directory / f"t10k-images-idx3-ubyte{suffix}"
             if tr.exists() and te.exists():
-                return _read_idx(tr), _read_idx(te)
+                y_tr = y_te = None
+                trl = directory / f"train-labels-idx1-ubyte{suffix}"
+                tel = directory / f"t10k-labels-idx1-ubyte{suffix}"
+                if trl.exists() and tel.exists():
+                    y_tr, y_te = _read_idx(trl), _read_idx(tel)
+                return _read_idx(tr), _read_idx(te), y_tr, y_te
     return None
 
 
@@ -83,21 +94,31 @@ def _synthetic_surrogate(
     def draw(n):
         labels = rng.integers(0, 10, size=n)
         probs = smooth[labels]
-        return (rng.uniform(size=probs.shape) < probs).astype(np.uint8) * 255
+        imgs = (rng.uniform(size=probs.shape) < probs).astype(np.uint8) * 255
+        return imgs, labels
 
-    return draw(n_train), draw(n_test)
+    (x_tr, y_tr), (x_te, y_te) = draw(n_train), draw(n_test)
+    return x_tr, x_te, y_tr, y_te
 
 
 def load_mnist(
-    seed: int = 0, binarize: bool = True, max_train: int | None = None
-) -> tuple[np.ndarray, np.ndarray, dict]:
-    """Flattened (N, 784) arrays in [0,1] (binarized by default) + meta."""
+    seed: int = 0, binarize: bool = True, max_train: int | None = None,
+    return_labels: bool = False,
+):
+    """Flattened (N, 784) arrays in [0,1] (binarized by default) + meta.
+
+    With ``return_labels=True`` returns (x_train, x_test, meta, y_train,
+    y_test) for cluster-purity evaluation; label arrays are None when a
+    real image file is found without its label file.
+    """
     real = _find_real_mnist()
     if real is not None:
-        x_train, x_test = real
+        x_train, x_test, y_train, y_test = real
         synthetic = False
     else:
-        x_train, x_test = _synthetic_surrogate(seed=seed + 11)
+        x_train, x_test, y_train, y_test = _synthetic_surrogate(
+            seed=seed + 11
+        )
         synthetic = True
     x_train = x_train.reshape(len(x_train), -1).astype(np.float64) / 255.0
     x_test = x_test.reshape(len(x_test), -1).astype(np.float64) / 255.0
@@ -107,5 +128,9 @@ def load_mnist(
         x_test = (x_test > 0.5).astype(np.float64)
     if max_train is not None:
         x_train = x_train[:max_train]
+        if y_train is not None:
+            y_train = y_train[:max_train]
     meta = {"likelihood": "bernoulli", "synthetic": synthetic}
+    if return_labels:
+        return x_train, x_test, meta, y_train, y_test
     return x_train, x_test, meta

@@ -69,6 +69,16 @@ class TrainerConfig:
     # raises with the reason when the workload is outside its shape
     # class), or "auto" (megakernel when supported AND on TPU, else xla).
     engine: str = "xla"
+    # --- VAE-style warmup + k-means++ reseed (svax.train.warmup) ---
+    # When latent_dim != input_dim the components can't be seeded from
+    # data and CVI collapses the mixture to one component (measured:
+    # purity 0.117 on the MNIST surrogate). warmup_steps > 0 first trains
+    # the nets rho=0 (PGM frozen), then reseeds q's naturals by k-means++
+    # on the encoded latent means (purity 1.0 on the same surrogate).
+    # Skipped automatically when resuming from a checkpoint past step 0.
+    warmup_steps: int = 0
+    reseed_pseudo_counts: float = 5.0
+    reseed_cov_scale: float = 0.0  # 0 = auto (within-cluster variance)
 
 
 def _rho_schedule(tc: TrainerConfig) -> float | Callable:
@@ -135,6 +145,13 @@ class Trainer:
     def sync_dtype(self, data) -> None:
         """Align any model-side dtypes (e.g. the conjugate prior) to the data."""
 
+    def warmup(self, state, x_train, key):
+        """Hook: phase-1 warmup + reseed when ``tc.warmup_steps > 0``."""
+        raise NotImplementedError(
+            f"{type(self).__name__} has no warmup path (warmup_steps="
+            f"{self.tc.warmup_steps} requires an encoder to reseed from)"
+        )
+
     # -- engine -----------------------------------------------------------
     def _build_step(self) -> Callable:
         from svax.parallel import mesh as pmesh
@@ -164,6 +181,10 @@ class Trainer:
 
             ckpt = Checkpointer(tc.checkpoint_dir)
             state, k_run, start = ckpt.restore_or(state, k_run)
+
+        if tc.warmup_steps > 0 and start == 0:
+            k_run, k_warm = jax.random.split(k_run)
+            state = self.warmup(state, x_train, k_warm)
 
         n = x_train.shape[0]
         batch = tc.batch_size or n
@@ -357,6 +378,19 @@ class SvaeTrainer(Trainer):
         return svae_step.make_train_step(
             self.mc, self.prior, self.optimizer, self.rho, axis_name=axis_name
         )
+
+    def warmup(self, state, x_train, key):
+        from svax.train.warmup import vae_warmup_reseed
+
+        state, info = vae_warmup_reseed(
+            state, x_train, self.mc, self.prior, self.optimizer, key,
+            steps=self.tc.warmup_steps, batch_size=self.tc.batch_size,
+            scan_chunk=self.tc.scan_chunk or 100,
+            pseudo_counts=self.tc.reseed_pseudo_counts,
+            cov_scale=self.tc.reseed_cov_scale, seed=self.tc.seed,
+        )
+        self.warmup_info = info
+        return state
 
     def make_megakernel_runner(self) -> Callable | None:
         from svax.train.loop import (

@@ -45,6 +45,17 @@ def write_idx3(path: Path, images: np.ndarray, gz: bool) -> None:
         path.write_bytes(payload)
 
 
+def write_idx1(path: Path, labels: np.ndarray, gz: bool) -> None:
+    header = struct.pack(">HBBI", 0, 0x08, 1, len(labels))
+    payload = header + labels.astype(np.uint8).tobytes()
+    if gz:
+        with open(path, "wb") as raw:
+            with gzip.GzipFile(fileobj=raw, mode="wb", mtime=0) as f:
+                f.write(payload)
+    else:
+        path.write_bytes(payload)
+
+
 def main() -> None:
     (ROOT / "auto").mkdir(parents=True, exist_ok=True)
     (ROOT / "auto" / "auto-mpg.data").write_text(AUTO_ROWS)
@@ -57,16 +68,21 @@ def main() -> None:
     train[0, 0, 1] = 0
     test[0, 27, 27] = 255
 
+    y_train = (np.arange(8) % 10).astype(np.uint8)
+    y_test = np.asarray([3, 1, 4, 1], np.uint8)
     for sub, gz in (("mnist_idx_raw", False), ("mnist_idx", True)):
         d = ROOT / sub
         d.mkdir(parents=True, exist_ok=True)
         ext = ".gz" if gz else ""
         write_idx3(d / f"train-images-idx3-ubyte{ext}", train, gz)
         write_idx3(d / f"t10k-images-idx3-ubyte{ext}", test, gz)
+        write_idx1(d / f"train-labels-idx1-ubyte{ext}", y_train, gz)
+        write_idx1(d / f"t10k-labels-idx1-ubyte{ext}", y_test, gz)
 
     d = ROOT / "mnist_npz"
     d.mkdir(parents=True, exist_ok=True)
-    np.savez(d / "mnist.npz", x_train=train, x_test=test)
+    np.savez(d / "mnist.npz", x_train=train, x_test=test,
+             y_train=y_train, y_test=y_test)
     print("fixtures written under", ROOT)
 
 

@@ -66,6 +66,29 @@ def test_load_mnist_real_paths(monkeypatch, sub):
     assert x_test[0, -1] == 1.0
 
 
+@pytest.mark.parametrize("sub", ["mnist_idx_raw", "mnist_idx", "mnist_npz"])
+def test_load_mnist_labels(monkeypatch, sub):
+    """return_labels=True parses idx1 label files / npz y arrays."""
+    monkeypatch.setenv("SVAX_DATA_DIR", str(FIXTURES / sub))
+    x_train, x_test, meta, y_train, y_test = load_mnist(
+        seed=0, return_labels=True
+    )
+    assert meta["synthetic"] is False
+    np.testing.assert_array_equal(y_train, np.arange(8) % 10)
+    np.testing.assert_array_equal(y_test, [3, 1, 4, 1])
+    assert len(y_train) == len(x_train) and len(y_test) == len(x_test)
+
+
+def test_load_mnist_surrogate_labels():
+    """The synthetic surrogate carries its generating class labels."""
+    x_train, x_test, meta, y_train, y_test = load_mnist(
+        seed=0, max_train=128, return_labels=True
+    )
+    assert meta["synthetic"] is True
+    assert len(y_train) == 128 and len(y_test) == len(x_test)
+    assert set(np.unique(y_train)) <= set(range(10))
+
+
 def test_idx_and_npz_paths_agree(monkeypatch):
     monkeypatch.setenv("SVAX_DATA_DIR", str(FIXTURES / "mnist_idx"))
     a_train, a_test, _ = load_mnist(seed=0, binarize=False)

@@ -364,6 +364,45 @@ def test_gmm_trainer_megakernel_rejects_unsupported():
         )
 
 
+def test_warmup_reseed_through_trainer():
+    """warmup_steps > 0 runs the anti-collapse recipe (rho=0 warmup +
+    k-means++ reseed of the encoded latent means, svax/train/warmup.py)
+    before the main loop; the fit completes with its diagnostics attached
+    and all reseeded naturals valid."""
+    x_train, x_test = _data()
+    x_train = x_train.astype(jnp.float32)
+    x_test = x_test.astype(jnp.float32)
+    # latent 3 != input 2: the collapse-prone regime warmup exists for.
+    mc = SvaeConfig(latent_dim=3, num_components=4, num_samples=1,
+                    num_total=x_train.shape[0])
+    tc = TrainerConfig(
+        steps=20, eval_every=10, scan_chunk=10, rho=0.2,
+        encoder_hidden=(16,), decoder_hidden=(16,),
+        warmup_steps=20,
+    )
+    trainer = SvaeTrainer(mc, tc, input_dim=2)
+    state = trainer.fit(x_train, x_test)
+    assert int(state.step) == 20  # reseed resets the step counter
+    info = trainer.warmup_info
+    assert info["seed_occupancy"] >= 2
+    assert info["cov_scale"] > 0
+    # Reseeded naturals are valid NIW params: counts grew by pseudo_counts.
+    assert np.all(np.asarray(state.pgm_nat.niw_nat.eta2) > 0)
+    assert np.isfinite(float(state.pgm_nat.dir_nat.sum()))
+
+
+def test_warmup_on_mixture_trainer_raises():
+    """Encoder-less trainers reject warmup_steps with a clear error."""
+    import pytest
+
+    from svax.train.trainer import GmmTrainer
+
+    x_train, _ = _data()
+    tc = TrainerConfig(steps=4, rho=0.5, warmup_steps=5)
+    with pytest.raises(NotImplementedError, match="warmup"):
+        GmmTrainer(tc, num_components=4, data_dim=2).fit(x_train)
+
+
 def test_gmm_trainer_auto_engine_falls_back_off_tpu():
     from svax.train.trainer import GmmTrainer
 
