@@ -159,16 +159,21 @@ def run_comparison(args, results):
         "auto": dict(steps=3000, batch=64, d=4, s=4, hidden=(100, 100),
                      rho=0.2, rho_decay=0.001, aug=0.0, restarts=1,
                      iw=1000, eval_every=250, gmm_steps=300),
+        # warmup: the shipped anti-collapse recipe (svax/train/warmup.py,
+        # the mnist-svae config default) — without it the latent-8 mixture
+        # collapses to one component and the "structured" model is just a
+        # VAE with extra parameters.
         "mnist": dict(steps=5000, batch=256, d=8, s=1, hidden=(200, 200),
                       rho=0.1, rho_decay=0.001, aug=0.0, restarts=1,
-                      iw=100, eval_every=500, gmm_steps=0),
+                      iw=100, eval_every=500, gmm_steps=0, warmup=1000),
     }
     k, lr = 10, 1e-3
     comparison = {}
     for ds, sp in specs.items():
         if args.quick:
             sp = dict(sp, steps=200, eval_every=100, iw=20, restarts=1,
-                      gmm_steps=min(sp["gmm_steps"], 60))
+                      gmm_steps=min(sp["gmm_steps"], 60),
+                      warmup=min(sp.get("warmup", 0), 100))
         train, test, meta = load_dataset(ds, seed=0)
         x = jnp.asarray(train, jnp.float32)
         xt = jnp.asarray(test, jnp.float32)
@@ -219,6 +224,15 @@ def run_comparison(args, results):
             for r in range(sp["restarts"]):
                 key = jax.random.PRNGKey(seed_base + 1000 * r)
                 st = init(key)
+                if kind == "svae" and sp.get("warmup", 0):
+                    from svax.train.warmup import vae_warmup_reseed
+
+                    st, _w = vae_warmup_reseed(
+                        st, x, config, prior, opt,
+                        jax.random.fold_in(key, 17),
+                        steps=sp["warmup"], batch_size=sp["batch"],
+                        scan_chunk=chunk,
+                    )
                 kk, traj = key, []
                 for c in range(n_chunks):
                     kk = jax.random.fold_in(kk, c)
