@@ -33,6 +33,13 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--skip-parity", action="store_true")
     ap.add_argument("--skip-xla", action="store_true")
+    # Pad-occupancy probe (BASELINE.md mixstep headroom note): override the
+    # geometry to measure whether pad cells convert to time at this depth —
+    # e.g. --n-points 512 -K 8 fills the (K_pad, N_pad) planes exactly
+    # (100% occupancy) vs the default 400/10 (49%).
+    ap.add_argument("--n-points", type=int, default=0,
+                    help="0 = the pinwheel 400; else synthetic N")
+    ap.add_argument("-K", "--num-components", type=int, default=10)
     args = ap.parse_args()
 
     import jax
@@ -53,8 +60,11 @@ def main() -> None:
 
     train, _ = load_pinwheel(seed=0)
     x = jnp.asarray(train, dtype=jnp.float32)
+    if args.n_points:
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((args.n_points, 2)), jnp.float32)
     n = x.shape[0]
-    k, rho = 10, 1.0
+    k, rho = args.num_components, 1.0
     prior = jax.tree.map(lambda a: a.astype(jnp.float32),
                          gmm.make_prior(k, 2, kappa=0.05))
     key = jax.random.PRNGKey(0)
@@ -113,12 +123,16 @@ def main() -> None:
         ev = float(gmm_baseline.evaluate(st.nat, prior, x,
                                          num_total=n)["elbo"])
         assert np.isfinite(ev), f"non-finite ELBO in {name} megakernel run"
+        n_pad = -(-n // 128) * 128
+        k_pad = -(-k // 8) * 8
         print(json.dumps({
             "metric": f"mixstep_megakernel_{name}_steps_per_sec",
             "value": round(1.0 / m, 1),
             "us_per_step_marginal": round(1e6 * m, 3),
             "us_per_step_wall_T": round(1e6 * statistics.median(singles), 3),
             "t_steps_per_launch": t1,
+            "n": n, "k": k,
+            "plane_occupancy": round((n * k) / (n_pad * k_pad), 2),
             "final_elbo": round(ev, 2),
         }))
 

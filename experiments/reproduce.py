@@ -168,7 +168,10 @@ def run_comparison(args, results):
                       iw=100, eval_every=500, gmm_steps=0, warmup=1000),
     }
     k, lr = 10, 1e-3
+    n_seeds = getattr(args, "comparison_seeds", 1)
     comparison = {}
+    specs = {ds: sp for ds, sp in specs.items()
+             if ds in getattr(args, "comparison_datasets", specs)}
     for ds, sp in specs.items():
         if args.quick:
             sp = dict(sp, steps=200, eval_every=100, iw=20, restarts=1,
@@ -260,11 +263,26 @@ def run_comparison(args, results):
                 row["iw_best"] = row["iw_final"]
             return row
 
+        def run_seeds(kind):
+            """n_seeds independent runs; iw_best = mean for the orderings."""
+            per_seed = [train_model(kind, 37 * sd) for sd in range(n_seeds)]
+            if n_seeds == 1:
+                return per_seed[0]
+            import statistics
+
+            bests = [r["iw_best"] for r in per_seed]
+            return {
+                "iw_best": round(statistics.mean(bests), 3),
+                "iw_best_sd": round(statistics.stdev(bests), 3),
+                "per_seed": per_seed,
+            }
+
         row = {
-            "svae": train_model("svae", 0),
-            "vae": train_model("vae", 0),
+            "svae": run_seeds("svae"),
+            "vae": run_seeds("vae"),
             "budget": {kk: sp[kk] for kk in
                        ("steps", "batch", "d", "s", "hidden", "iw")},
+            "seeds": n_seeds,
             "synthetic_data": bool(meta.get("synthetic", False)),
         }
         if sp["gmm_steps"]:
@@ -385,6 +403,13 @@ def run_serve(args, results):
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--quick", action="store_true", help="smoke-scale steps")
+    p.add_argument("--comparison-seeds", type=int, default=1,
+                   help="seeds per model in the comparison stage (the "
+                        "SVAE-vs-VAE ordering on pinwheel is within seed "
+                        "noise at 1 seed; ≥4 gives mean ± sd)")
+    p.add_argument("--comparison-datasets", nargs="+",
+                   default=["pinwheel", "auto", "mnist"],
+                   choices=["pinwheel", "auto", "mnist"])
     p.add_argument("--platform", choices=["default", "cpu"], default="default")
     p.add_argument("--out", type=str, default="reproduce_summary.json")
     p.add_argument("--stages", nargs="+", default=["all"],
