@@ -41,6 +41,11 @@ CONFIGS: dict[str, dict] = {
         # headline engine and the quality recipe are the same trainer.
         # Off-TPU "auto" falls back to the xla scan path.
         engine="auto",
+        # Single-pass bf16 dots: the 8-seed canonical sweep AT DEFAULT
+        # reproduced the XLA/parity-class table (-5.353+-0.081 vs
+        # -5.365+-0.080, 6/8 crossing both — BASELINE.md precision
+        # policy), so the headline precision is the shipped default.
+        nn_precision="default",
     ),
     # BASELINE config #2
     "pinwheel-gmm": dict(
@@ -69,10 +74,14 @@ CONFIGS: dict[str, dict] = {
         scan_chunk=500,  # 8698 steps/s measured (bench_chunks.py)
         # On TPU the flexstep megakernel runs this whole config in one
         # Pallas program per chunk: 34k steps/s at parity-class HIGHEST
-        # dots, 69k at --precision default (best test ELBO identical to
-        # 1e-3 in a same-seed A/B — BASELINE.md row #3). Off-TPU "auto"
-        # falls back to the xla scan path.
+        # dots, 69k at single-pass bf16 DEFAULT. Off-TPU "auto" falls
+        # back to the xla scan path.
         engine="auto",
+        # 8-seed DEFAULT-vs-HIGHEST quality A/B at this exact shape:
+        # per-seed delta +0.0001 +- 0.0023 nats (worst 0.0051) —
+        # quality-neutral, so the 2.0x-faster precision is the default
+        # (BASELINE.md precision policy; runs/flexstep_quality_ab.json).
+        nn_precision="default",
     ),
     # BASELINE config #4
     "mnist-svae": dict(
