@@ -16,6 +16,8 @@ from svax.models import svae, svae_smm
 from svax.models.svae import SvaeConfig
 from svax.pgm import gmm
 
+pytestmark = pytest.mark.slow  # full-suite tier (see CLAUDE.md)
+
 
 def _setup(likelihood, d_in, dof=0.0):
     k, d_lat, n = 5, 3, 32

@@ -18,6 +18,8 @@ from svax.ops import batched_linalg as bl
 from svax.ops import combine_pallas as cp
 from svax.pgm import gmm
 
+pytestmark = pytest.mark.slow  # full-suite tier (see CLAUDE.md)
+
 
 def _inputs(n, k, d, s, seed=0):
     rng = np.random.default_rng(seed)

@@ -7,6 +7,7 @@ here is an exact jnp mirror of those numerics; closeness to the XLA bf16
 path is checked at bf16-noise tolerance.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -15,6 +16,8 @@ from svax.models import svae
 from svax.nets import mlp as nets
 from svax.ops import decoder_mlp_pallas as dmp
 from svax.pgm import gmm
+
+pytestmark = pytest.mark.slow  # full-suite tier (see CLAUDE.md)
 
 
 def _mirror(params, z, x):

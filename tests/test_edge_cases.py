@@ -1,5 +1,6 @@
 """Edge-case hardening: degenerate dimensions, empty clusters, extremes."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -67,6 +68,7 @@ def test_empty_cluster_stays_at_prior(rng):
     assert np.isfinite(float(gmm.elbo_obs(x, state.nat, prior)[0]))
 
 
+@pytest.mark.slow
 def test_many_samples_path(key):
     """S=16 Monte-Carlo samples: shapes and gradients stay sane."""
     x = jnp.asarray(

@@ -7,12 +7,15 @@ the kernel implements — against the L1 einsum path, and (b) the public
 The on-TPU kernel-vs-twin equivalence runs in benchmarks/ on real hardware.
 """
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
 from svax.data import make_pinwheel_data
 from svax.ops import estep_pallas
 from svax.pgm import gmm
+
+pytestmark = pytest.mark.slow  # full-suite tier (see CLAUDE.md)
 
 
 def _setup(seed=0, n=100, k=7, d=2):

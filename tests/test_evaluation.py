@@ -1,5 +1,6 @@
 """Evaluation bounds: IW ≥ ELBO, Student-t predictive vs scipy oracle."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -42,6 +43,7 @@ def test_gmm_predictive_vs_scipy(rng):
     np.testing.assert_allclose(got, np.log(dens), rtol=1e-8)
 
 
+@pytest.mark.slow
 def test_svae_iw_tighter_than_elbo(key):
     """IW bound with many samples ≥ the per-point ELBO (both proper bounds)."""
     x = jnp.asarray(make_pinwheel_data(num_classes=3, num_per_class=20, seed=0), dtype=jnp.float64)

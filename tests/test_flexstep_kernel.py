@@ -9,6 +9,7 @@ explicit mirror of ``svae_step.make_train_step`` at the same batches/eps
 rho decay).
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -19,6 +20,8 @@ from svax.models.svae import SvaeConfig
 from svax.ops import flexstep_pallas as fsp
 from svax.pgm import gmm, natgrad
 from svax.train import svae_step
+
+pytestmark = pytest.mark.slow  # full-suite tier (see CLAUDE.md)
 
 
 def _setup(n=96, m=24, d_in=5, d_lat=3, k=4, s=2, hidden=(16, 16),

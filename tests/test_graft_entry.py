@@ -18,6 +18,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import __graft_entry__ as graft  # noqa: E402
 
+pytestmark = pytest.mark.slow  # full-suite tier (see CLAUDE.md)
+
 
 @pytest.mark.parametrize("n_devices", [2, 4, 8])
 def test_dryrun_impl_mesh_matrix(n_devices, capsys):

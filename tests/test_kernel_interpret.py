@@ -17,6 +17,8 @@ import pytest
 from svax.ops import decoder_pallas, estep_pallas
 from svax.pgm import gmm
 
+pytestmark = pytest.mark.slow  # full-suite tier (see CLAUDE.md)
+
 
 def _gmm_setup(seed, n, k, d):
     rng = np.random.default_rng(seed)

@@ -11,6 +11,7 @@ test-ELBO-per-point within a band. Measured baseline deviation was ~1.1%
 moves this by far more than the 4% band.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -21,6 +22,8 @@ from svax.models.svae import SvaeConfig
 from svax.pgm import gmm
 from svax.train import svae_step
 from svax.train.loop import make_scan_runner
+
+pytestmark = pytest.mark.slow  # full-suite tier (see CLAUDE.md)
 
 STEPS = 2000
 CHUNK = 500

@@ -6,6 +6,7 @@ loops of ``gmm_baseline.make_train_step`` / ``smm_baseline.make_train_step``
 — the same oracle pattern as tests/test_tinystep_kernel.py.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -14,6 +15,8 @@ from svax.data import make_pinwheel_data
 from svax.models import gmm_baseline, smm_baseline
 from svax.ops import mixstep_pallas as msp
 from svax.pgm import gmm
+
+pytestmark = pytest.mark.slow  # full-suite tier (see CLAUDE.md)
 
 
 def _setup(n, k, seed=0):

@@ -16,6 +16,7 @@ same ELBO plateau (−238) but purity 0.117 with 1/10 components — purity
 is the discriminating assert, the ELBO floor catches gross breakage.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -29,6 +30,8 @@ from svax.pgm import gmm
 from svax.train import svae_step
 from svax.train.loop import make_minibatch_scan_runner
 from svax.train.warmup import vae_warmup_reseed
+
+pytestmark = pytest.mark.slow  # full-suite tier (see CLAUDE.md)
 
 
 def test_bernoulli_path_quality_pin():

@@ -5,6 +5,7 @@ program that runs over ICI on a pod runs here against
 --xla_force_host_platform_device_count=8 (set in conftest.py).
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -48,6 +49,7 @@ def test_psum_suff_stats_equal_full_batch(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_gmm_trajectory_mesh_invariant():
     """Full GMM CVI trajectory identical on 1 device vs 8-device mesh."""
     x = jnp.asarray(make_pinwheel_data(num_classes=5, num_per_class=48, seed=1))
@@ -76,6 +78,7 @@ def test_gmm_trajectory_mesh_invariant():
     )
 
 
+@pytest.mark.slow
 def test_svae_dp_matches_manual_shard_simulation(key):
     """One SVAE DP step == sequential simulation of the 8 shards + psum.
 

@@ -14,6 +14,7 @@ Seeded golden trajectories at both shapes (regenerable via
 tests/regen_golden.py) detect unintended math changes at these geometries.
 """
 
+import pytest
 import json
 from pathlib import Path
 
@@ -24,6 +25,8 @@ import numpy as np
 from svax.models import svae
 from svax.models.svae import SvaeConfig
 from svax.pgm import gmm, natgrad
+
+pytestmark = pytest.mark.slow  # full-suite tier (see CLAUDE.md)
 
 
 def _cast(tree, dt):

@@ -17,6 +17,8 @@ from svax.models import svae
 from svax.models.svae import SvaeConfig
 from svax.pgm import gmm
 
+pytestmark = pytest.mark.slow  # full-suite tier (see CLAUDE.md)
+
 
 def _setup(likelihood="gaussian", d_in=2, s=2, n=40, k=5, seed=0):
     config = SvaeConfig(

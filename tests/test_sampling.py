@@ -1,6 +1,7 @@
 """Generative sampling: Bartlett NIW draws vs expected moments, GMM ancestral
 sampling recovers the posterior structure, SVAE generation round-trip."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -40,6 +41,7 @@ def test_niw_bartlett_sample_moments(key, rng):
     np.testing.assert_allclose(elogdet, float(stats.logdet), rtol=3e-2, atol=2e-2)
 
 
+@pytest.mark.slow
 def test_gmm_generative_after_fit(key):
     x = jnp.asarray(make_pinwheel_data(num_classes=3, num_per_class=50, seed=0))
     prior = gmm.make_prior(5, 2, dtype=jnp.float64)

@@ -11,6 +11,8 @@ from svax.data import make_pinwheel_data
 from svax.pgm import gmm
 from svax.train import svae_step
 
+pytestmark = pytest.mark.slow  # full-suite tier (see CLAUDE.md)
+
 
 def _trained_state(spec, steps=30, seed=0):
     key = jax.random.PRNGKey(seed)

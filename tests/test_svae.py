@@ -1,6 +1,7 @@
 """L2 SVAE tests: combine oracle, closed-form local term vs Monte Carlo,
 ELBO improvement, finite gradients (SURVEY.md §5 integration tier)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -82,6 +83,7 @@ def test_responsibilities_match_product_normalizer(rng):
     np.testing.assert_allclose(np.asarray(post.log_resp), np.asarray(want), rtol=1e-7, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_local_kl_closed_form_vs_monte_carlo(rng, key):
     """The closed-form local term equals an MC estimate of
     E_q[log q(z,k|x) − log p̄(z,k)] (SURVEY.md §9.6)."""
@@ -114,6 +116,7 @@ def test_local_kl_closed_form_vs_monte_carlo(rng, key):
     np.testing.assert_allclose(closed, mc, rtol=2e-2, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_elbo_improves_on_pinwheel(key):
     """SVAE ELBO strictly improves over the first training phase (§5)."""
     x = jnp.asarray(make_pinwheel_data(num_classes=5, num_per_class=40, seed=0), dtype=jnp.float64)
@@ -135,6 +138,7 @@ def test_elbo_improves_on_pinwheel(key):
     assert np.mean(elbos[-10:]) > np.mean(elbos[:10]) + 100.0, elbos[::10]
 
 
+@pytest.mark.slow
 def test_gradients_finite_and_nonzero(key):
     x = jnp.asarray(make_pinwheel_data(num_classes=3, num_per_class=10, seed=1), dtype=jnp.float64)
     n = x.shape[0]
@@ -154,6 +158,7 @@ def test_gradients_finite_and_nonzero(key):
     assert sum(float(jnp.abs(l).sum()) for l in leaves) > 0.0
 
 
+@pytest.mark.slow
 def test_bernoulli_likelihood_path(key):
     rng = np.random.default_rng(0)
     x = jnp.asarray((rng.uniform(size=(20, 12)) > 0.5).astype(np.float64))

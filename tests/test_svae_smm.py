@@ -7,6 +7,7 @@ updates reach their fixed point; (c) the combined Adam+CVI step trains;
 the Student-t prior exists for.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -17,6 +18,8 @@ from svax.models import svae, svae_smm
 from svax.models.svae import SvaeConfig
 from svax.pgm import gmm
 from svax.train import svae_step
+
+pytestmark = pytest.mark.slow  # full-suite tier (see CLAUDE.md)
 
 
 def _setup(dof, n=80, k=5, d=2, s=2, dtype=jnp.float64, smm_iters=2):

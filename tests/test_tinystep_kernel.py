@@ -7,6 +7,7 @@ mirror of ``svae_step.make_train_step`` (Adam via optax, CVI via
 natgrad.cvi_update, forward via svae.forward at the same eps).
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -18,6 +19,8 @@ from svax.models.svae import SvaeConfig
 from svax.ops import tinystep_pallas as tsp
 from svax.pgm import gmm, natgrad
 from svax.train import svae_step
+
+pytestmark = pytest.mark.slow  # full-suite tier (see CLAUDE.md)
 
 
 def _setup(n=72, k=4, s=2, hidden=(16, 16), lr=3e-3, seed=0, dof=0.0,
