@@ -6,19 +6,28 @@ stalls at 5/8 crossing the per-draw exact pure-GMM predictive, with the
 below-bar draws (seeds 2, 4, 6) losing 0.03–0.49 nat. The claim "the
 exact Bayesian predictive is a genuinely strong bar for an amortized
 model" was asserted, not probed (VERDICT r3 item 4). This experiment
-measures, per below-bar draw, the NON-AMORTIZED upper bound of the same
+measures, per below-bar draw, the NON-AMORTIZED fit of the same
 variational family: freeze the trained decoder + PGM naturals, replace
 the encoder's per-point diagonal Gaussian potentials with free per-test-
 point parameters (same softplus+floor parameterization as the encoder
-head), and optimize them directly against the SAME IW objective used for
-scoring. This is the tightest score ANY encoder could produce within the
-SIN-combine family for this decoder:
+head), and optimize them against the per-point structured ELBO — the
+exact objective the encoder itself is trained on (recon − local KL;
+the global term is constant in the potentials). This removes the
+amortization constraint while keeping objective, family and decoder
+fixed, so under the same IW(1000) scoring protocol:
 
-  * if even the locally-optimized bound stays below the per-draw bar,
-    the gap is the model/family (the structured posterior family plus
-    this decoder cannot represent the exact predictive on these draws) —
-    the BASELINE claim stands with evidence;
-  * if it crosses, the gap is amortization/recipe — attackable.
+  * if the locally-optimized potentials still stay below the per-draw
+    bar, amortization is not the gap — the structured family plus this
+    decoder cannot reach the exact predictive on these draws and the
+    BASELINE claim stands with evidence;
+  * if they cross, the gap is amortization/recipe — attackable.
+
+`--objective iw` keeps the first attempt — optimizing the IW(64) bound
+directly — as a reproducible NEGATIVE: the mixture-IW estimator's
+proposal gradient is biased (the component choice is a non-reparameter-
+ized Gumbel-argmax, so its score-function term is silently dropped) and
+the optimization diverges (measured on v5e: objective −5.69 → −27.1 in
+3000 steps on seed 2 while the ELBO objective improves monotonically).
 
 Protocol per seed: reproduce the exact redraw-table run (aug 0.6,
 best-of-3 restarts by train ELBO, 30000 steps, constant rho 0.05, same
@@ -54,7 +63,11 @@ def main() -> None:
     ap.add_argument("--opt-steps", type=int, default=3000)
     ap.add_argument("--opt-iw-samples", type=int, default=64,
                     help="IW samples per local-opt gradient step")
-    ap.add_argument("--opt-lr", type=float, default=3e-2)
+    ap.add_argument("--opt-lr", type=float, default=1e-2)
+    ap.add_argument("--objective", choices=["elbo", "iw"], default="elbo",
+                    help="'elbo' = per-point structured ELBO (the training "
+                         "objective, unbiased reparameterized grads); 'iw' "
+                         "= the documented-negative direct IW(64) objective")
     ap.add_argument("--json", default="runs/redraw_probe.json")
     ap.add_argument("--platform", choices=["default", "cpu"],
                     default="default")
@@ -118,6 +131,20 @@ def main() -> None:
         log_w = loglik + log_prior - log_q
         return jax.nn.logsumexp(log_w, axis=0) - jnp.log(float(num_samples))
 
+    def local_elbo_from_potentials(pot_h, pot_p, decoder, exp, x, key):
+        """Per-point structured ELBO (recon − local KL) with free potentials
+        — svae.forward's weighted-mode math (svax/models/svae.py) minus the
+        potential-independent global term; grads are fully reparameterized
+        (responsibility-weighted over ALL K, no categorical draw)."""
+        post = svae_mod.sin_combine(pot_h, pot_p, exp, jitter=config.jitter)
+        resp = jnp.exp(post.log_resp)
+        z = svae_mod.sample_posterior(key, post, config.num_samples)
+        loglik = nets.log_likelihood(
+            decoder, z, x[None, :, None, :], config.likelihood,
+            config.activation)
+        recon_n = jnp.sum(resp * jnp.mean(loglik, axis=0), axis=-1)
+        return recon_n - svae_mod.local_kl_term(post, exp)
+
     floor = nets._VAR_FLOOR
 
     def potentials(params):
@@ -145,8 +172,11 @@ def main() -> None:
 
         def objective(prms, key):
             h, p = potentials(prms)
-            return -jnp.mean(iw_from_potentials(
-                h, p, decoder, exp, xt, key, args.opt_iw_samples))
+            if args.objective == "iw":
+                return -jnp.mean(iw_from_potentials(
+                    h, p, decoder, exp, xt, key, args.opt_iw_samples))
+            return -jnp.mean(local_elbo_from_potentials(
+                h, p, decoder, exp, xt, key))
 
         def one(carry, key):
             prms, ls = carry
@@ -223,16 +253,24 @@ def main() -> None:
         print(json.dumps(row), flush=True)
 
     crossed = sum(r["localopt_crosses"] for r in rows)
+    verdict = (
+        "family/model gap — the exact predictive is unreachable for this "
+        "variational family on ALL probed draws" if crossed == 0 else
+        "amortization/recipe gap on ALL probed draws — attackable"
+        if crossed == len(rows) else
+        f"mixed: {crossed}/{len(rows)} draws cross once amortization is "
+        "removed (recipe-attackable); the rest are family/model gaps — "
+        "see per-row amortization_gap vs family_gap_vs_bar")
     summary = {
-        "protocol": ("redraw-table recipe (aug0.6+rs3+steps30000) on the "
-                     "below-bar draws; local-opt = per-test-point "
-                     "potentials, decoder+PGM frozen"),
+        "protocol": (f"redraw-table recipe (aug{args.aug}+rs{args.restarts}"
+                     f"+steps{args.steps}) on the below-bar draws; local-opt"
+                     f" = per-test-point potentials vs the {args.objective}"
+                     f" objective ({args.opt_steps} Adam steps, lr "
+                     f"{args.opt_lr}), decoder+PGM frozen; scored with "
+                     f"IW({args.iw_samples})"),
         "rows": rows,
         "localopt_crossing": f"{crossed}/{len(rows)}",
-        "verdict": ("amortization/recipe gap — attackable" if crossed
-                    else "family/model gap — the exact predictive is "
-                         "unreachable for this variational family on "
-                         "these draws"),
+        "verdict": verdict,
     }
     Path(args.json).parent.mkdir(exist_ok=True)
     Path(args.json).write_text(json.dumps(summary, indent=1))
