@@ -68,6 +68,14 @@ def main() -> None:
                     help="'elbo' = per-point structured ELBO (the training "
                          "objective, unbiased reparameterized grads); 'iw' "
                          "= the documented-negative direct IW(64) objective")
+    ap.add_argument("--potential", choices=["diag", "full"], default="diag",
+                    help="free-potential family: 'diag' matches the encoder "
+                         "head (the round-4 probe); 'full' optimizes a full-"
+                         "covariance per-point precision P = LLᵀ (Cholesky-"
+                         "parameterized, init from the diag solution) — the "
+                         "strictly larger message family, isolating whether "
+                         "the residual family gap is the DIAGONAL constraint "
+                         "or the mixture/decoder structure itself")
     ap.add_argument("--json", default="runs/redraw_probe.json")
     ap.add_argument("--platform", choices=["default", "cpu"],
                     default="default")
@@ -146,27 +154,60 @@ def main() -> None:
         return recon_n - svae_mod.local_kl_term(post, exp)
 
     floor = nets._VAR_FLOOR
-
-    def potentials(params):
-        var = jax.nn.softplus(params["raw"]) + floor
-        p = 1.0 / var
-        return params["mean"] * p, p
+    d_lat = config.latent_dim
+    tril_r, tril_c = np.tril_indices(d_lat, -1)
 
     def softplus_inv(y):
-        return np.log(np.expm1(np.clip(y, 1e-10, None)))
+        # stable for large y (softplus(y) ≈ y): avoids expm1 overflow
+        y = np.clip(y, 1e-10, None)
+        return np.where(y > 30.0, y, np.log(np.expm1(y)))
+
+    if args.potential == "diag":
+        def potentials(params):
+            var = jax.nn.softplus(params["raw"]) + floor
+            p = 1.0 / var
+            return params["mean"] * p, p
+
+        def init_params(pot_h, pot_p):
+            var0 = np.asarray(1.0 / pot_p, np.float64)
+            return {
+                "mean": jnp.asarray(np.asarray(pot_h / pot_p)),
+                "raw": jnp.asarray(
+                    softplus_inv(np.maximum(var0 - floor, 1e-8)).astype(
+                        np.float32)),
+            }
+    else:
+        # Full-covariance potential: P = L Lᵀ, L lower-triangular with a
+        # softplus-positive diagonal; h = P·mean. Strictly contains the
+        # diagonal family (off = 0 reproduces it exactly).
+        def potentials(params):
+            ldiag = jax.nn.softplus(params["raw_diag"]) + 1e-4
+            n_pts = ldiag.shape[0]
+            ell = jnp.zeros((n_pts, d_lat, d_lat), ldiag.dtype)
+            idx = jnp.arange(d_lat)
+            ell = ell.at[:, idx, idx].set(ldiag)
+            if len(tril_r):
+                ell = ell.at[:, tril_r, tril_c].set(params["off"])
+            p_full = jnp.einsum("nij,nkj->nik", ell, ell)
+            h = jnp.einsum("nij,nj->ni", p_full, params["mean"])
+            return h, p_full
+
+        def init_params(pot_h, pot_p):
+            p0 = np.asarray(pot_p, np.float64)
+            return {
+                "mean": jnp.asarray(np.asarray(pot_h / pot_p)),
+                "raw_diag": jnp.asarray(
+                    softplus_inv(np.maximum(np.sqrt(p0) - 1e-4, 1e-8))
+                    .astype(np.float32)),
+                "off": jnp.zeros((p0.shape[0], len(tril_r)), jnp.float32),
+            }
 
     def local_opt_bound(state, xt, seed):
         """Optimize per-test-point potentials against the IW objective."""
         exp = gmm.expected_params(state.pgm_nat)
         decoder = state.nn_params["decoder"]
         pot_h, pot_p = nets.encoder_apply(state.nn_params["encoder"], xt)
-        var0 = np.asarray(1.0 / pot_p, np.float64)
-        params = {
-            "mean": jnp.asarray(np.asarray(pot_h / pot_p)),
-            "raw": jnp.asarray(
-                softplus_inv(np.maximum(var0 - floor, 1e-8)).astype(
-                    np.float32)),
-        }
+        params = init_params(pot_h, pot_p)
         lopt = optax.adam(args.opt_lr)
         lstate = lopt.init(params)
 
@@ -264,10 +305,10 @@ def main() -> None:
     summary = {
         "protocol": (f"redraw-table recipe (aug{args.aug}+rs{args.restarts}"
                      f"+steps{args.steps}) on the below-bar draws; local-opt"
-                     f" = per-test-point potentials vs the {args.objective}"
-                     f" objective ({args.opt_steps} Adam steps, lr "
-                     f"{args.opt_lr}), decoder+PGM frozen; scored with "
-                     f"IW({args.iw_samples})"),
+                     f" = per-test-point {args.potential} potentials vs the "
+                     f"{args.objective} objective ({args.opt_steps} Adam "
+                     f"steps, lr {args.opt_lr}), decoder+PGM frozen; scored "
+                     f"with IW({args.iw_samples})"),
         "rows": rows,
         "localopt_crossing": f"{crossed}/{len(rows)}",
         "verdict": verdict,

@@ -173,16 +173,23 @@ def sin_combine(
 ) -> SinPosterior:
     """Conjugate message-passing combine of encoder and PGM messages (§9.4).
 
-    pot_h, pot_p: (N, d) diagonal encoder potential; exp: expected GMM
-    naturals. Returns the (N, K) family of Gaussian posteriors and mixture
-    log-responsibilities. With ``axis_comp``, exp holds a K-shard and the
-    responsibility softmax normalizes across the mesh axis (component
-    parallelism): one pmax + one psum per combine.
+    pot_h (N, d), pot_p (N, d) diagonal — or (N, d, d) full-covariance —
+    encoder potential; exp: expected GMM naturals. Returns the (N, K)
+    family of Gaussian posteriors and mixture log-responsibilities. The
+    responsibility formula drops per-n constants (they cancel in the
+    softmax over k), so it is correct for both potential shapes. With
+    ``axis_comp``, exp holds a K-shard and the responsibility softmax
+    normalizes across the mesh axis (component parallelism): one pmax +
+    one psum per combine.
     """
     d = pot_h.shape[-1]
     eye = jnp.eye(d, dtype=pot_h.dtype)
-    # J̃_nk = diag(Pₙ) + E[Λ_k]  → (N, K, d, d)
-    prec = pot_p[:, None, :, None] * eye + exp.prec[None, :, :, :]
+    # J̃_nk = Pₙ + E[Λ_k]  → (N, K, d, d)
+    if pot_p.ndim == pot_h.ndim + 1:
+        pot_prec = pot_p  # full (N, d, d) precision message
+    else:
+        pot_prec = pot_p[:, :, None] * eye  # diag (N, d) → (N, d, d)
+    prec = pot_prec[:, None] + exp.prec[None, :, :, :]
     if jitter > 0.0:
         prec = prec + jitter * eye
     h = pot_h[:, None, :] + exp.prec_mean[None, :, :]  # (N, K, d)

@@ -54,6 +54,56 @@ def test_sin_combine_against_dense_solve(rng):
             )
 
 
+def test_sin_combine_full_potential(rng):
+    """(N, d, d) full-covariance potentials: embedding a diagonal potential
+    as a full matrix reproduces the diagonal path exactly, and a general
+    PSD potential matches dense numpy solves + the §9.4 product
+    normalizer (the per-n constants cancel in the softmax for any P)."""
+    from svax.expfam import mvn
+
+    n, k, d = 5, 3, 3
+    _, exp = make_exp(rng, k, d)
+    pot_p = rng.uniform(0.5, 2.0, (n, d))
+    pot_h = rng.standard_normal((n, d))
+
+    # 1. diag-as-full == diag, exactly
+    diag_post = svae.sin_combine(jnp.asarray(pot_h), jnp.asarray(pot_p), exp)
+    eye = np.eye(d)
+    full_from_diag = jnp.asarray(pot_p[:, :, None] * eye)
+    full_post = svae.sin_combine(jnp.asarray(pot_h), full_from_diag, exp)
+    for a, b in zip(diag_post, full_post):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # 2. general PSD potential vs dense numpy + product normalizer
+    a_mat = rng.standard_normal((n, d, d))
+    p_full = np.einsum("nij,nlj->nil", a_mat, a_mat) + 0.5 * eye
+    post = svae.sin_combine(jnp.asarray(pot_h), jnp.asarray(p_full), exp)
+    prec_np = np.asarray(exp.prec)
+    log_rho = np.zeros((n, k))
+    for i in range(n):
+        for j in range(k):
+            jt = p_full[i] + prec_np[j]
+            ht = pot_h[i] + np.asarray(exp.prec_mean)[j]
+            np.testing.assert_allclose(
+                np.asarray(post.mean)[i, j], np.linalg.solve(jt, ht), rtol=1e-7
+            )
+            np.testing.assert_allclose(
+                np.asarray(post.cov)[i, j], np.linalg.inv(jt), rtol=1e-7
+            )
+            g_k = (
+                0.5 * float(exp.logdet[j])
+                - 0.5 * d * np.log(2 * np.pi)
+                - 0.5 * float(exp.quad[j])
+            )
+            log_rho[i, j] = float(exp.log_pi[j]) + g_k + float(
+                mvn.log_partition(mvn.GaussianNat(h=jnp.asarray(ht), prec=jnp.asarray(jt)))
+            )
+    want = log_rho - jax.nn.logsumexp(jnp.asarray(log_rho), axis=-1, keepdims=True)
+    np.testing.assert_allclose(
+        np.asarray(post.log_resp), np.asarray(want), rtol=1e-6, atol=1e-7
+    )
+
+
 def test_responsibilities_match_product_normalizer(rng):
     """log r̃ matches E[logπ] + log-normalizer of the Gaussian product (§9.4),
     computed independently via mvn.log_partition differences."""
