@@ -68,7 +68,10 @@ def svae_iw_loglik(
 ) -> jnp.ndarray:
     """Per-point IW bound: lse_s[log p(x|z)p̄(z)/q(z|x)] − log S; (N,)."""
     exp = gmm.expected_params(pgm_nat)
-    pot_h, pot_p = nets.encoder_apply(nn_params["encoder"], x, config.activation)
+    pot_h, pot_p = nets.encoder_apply(
+        nn_params["encoder"], x, config.activation,
+        head=getattr(config, "encoder_head", "diag"),
+    )
     post = svae_mod.sin_combine(pot_h, pot_p, exp, jitter=config.jitter)
 
     k_cat, k_norm = jax.random.split(key)
@@ -134,7 +137,10 @@ def svae_smm_iw_loglik(
 
     assert config.dof > 0.0
     exp = gmm.expected_params(pgm_nat)
-    pot_h, pot_p = nets.encoder_apply(nn_params["encoder"], x, config.activation)
+    pot_h, pot_p = nets.encoder_apply(
+        nn_params["encoder"], x, config.activation,
+        head=getattr(config, "encoder_head", "diag"),
+    )
     post, _ = svae_smm.smm_combine(
         pot_h, pot_p, exp, config.dof, config.smm_iters, config.jitter
     )

@@ -113,6 +113,14 @@ class SvaeConfig(NamedTuple):
     # (no CPU lowering for the PRNG primitives). HW parity pinned by the
     # ε-recovery test in benchmarks/verify_kernel_rng_tpu.py.
     kernel_rng: bool = False
+    # Recognition-potential family. "diag" (reference-matching, §9.4):
+    # the encoder emits per-point diagonal Gaussian precisions. "full":
+    # a Cholesky-parameterized full (d, d) precision per point — a strict
+    # superset (zero off-diagonals reproduce "diag" exactly, nets.mlp
+    # docstring) motivated by the redraw-gap probe, where the diagonal
+    # family was part of the residual gap on hard draws. The fused
+    # combine / megakernel engines implement "diag" only and gate loudly.
+    encoder_head: str = "diag"
     # Reconstruction estimator. "weighted" (default, reference-matching):
     # decode S samples for EVERY component, Σ_k r̃·E[log p(x|z_k)] — exact
     # in k, S·N·K decoder rows. "sampled": draw k̂ ~ Cat(r̃) per (s, n) and
@@ -397,13 +405,15 @@ def forward(
 
     exp = gmm.expected_params(pgm_nat, axis_comp=axis_comp)
     pot_h, pot_p = nets.encoder_apply(
-        nn_params["encoder"], x, config.activation, config.nn_precision
+        nn_params["encoder"], x, config.activation, config.nn_precision,
+        head=config.encoder_head,
     )
 
     use_fused_combine = (
         config.fused_combine
         and config.recon_mode == "weighted"
         and config.jitter == 0.0
+        and pot_p.ndim == 2  # the kernel's layouts are diag-potential only
         and (jax.default_backend() == "tpu" or _COMBINE_INTERPRET)
     )
     if use_fused_combine:
@@ -553,7 +563,8 @@ def init_params(
     k_enc, k_dec = jax.random.split(key)
     return {
         "encoder": nets.encoder_init(
-            k_enc, input_dim, encoder_hidden, config.latent_dim, dtype=dtype
+            k_enc, input_dim, encoder_hidden, config.latent_dim, dtype=dtype,
+            head=config.encoder_head,
         ),
         "decoder": nets.decoder_init(
             k_dec,

@@ -65,10 +65,19 @@ class SmmPosterior(NamedTuple):
 
 
 def _z_update(pot_h, pot_p, exp: GmmExpected, e_u, jitter):
-    """q(z|n,k) given E[u]: ū-scaled SIN combine (§9.4 with u-augmentation)."""
+    """q(z|n,k) given E[u]: ū-scaled SIN combine (§9.4 with u-augmentation).
+
+    ``pot_p`` may be the diagonal (N, d) or full (N, d, d) encoder
+    precision (svae.sin_combine convention) — per-n constants cancel in
+    the responsibility softmax for both.
+    """
     d = pot_h.shape[-1]
     eye = jnp.eye(d, dtype=pot_h.dtype)
-    prec = pot_p[:, None, :, None] * eye + e_u[:, :, None, None] * exp.prec[None]
+    if pot_p.ndim == pot_h.ndim + 1:
+        pot_prec = pot_p[:, None]  # full (N, d, d) precision message
+    else:
+        pot_prec = pot_p[:, None, :, None] * eye
+    prec = pot_prec + e_u[:, :, None, None] * exp.prec[None]
     if jitter > 0.0:
         prec = prec + jitter * eye
     h = pot_h[:, None, :] + e_u[:, :, None] * exp.prec_mean[None]
@@ -226,7 +235,8 @@ def forward(
 
     exp = gmm.expected_params(pgm_nat, axis_comp=axis_comp)
     pot_h, pot_p = nets.encoder_apply(
-        nn_params["encoder"], x, config.activation, config.nn_precision
+        nn_params["encoder"], x, config.activation, config.nn_precision,
+        head=config.encoder_head
     )
     post, free_energy = smm_combine(
         pot_h, pot_p, exp, config.dof, config.smm_iters, config.jitter,

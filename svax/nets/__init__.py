@@ -2,9 +2,10 @@
 
 Small MLP encoder/decoders as plain pytrees + apply functions: everything is
 a pure function of (params, inputs), so the whole SVAE step stays one jitted
-program with no framework state. Encoder emits a *diagonal Gaussian natural
-potential* (h, p) per datapoint (SURVEY.md §9.4); decoders provide Gaussian
-and Bernoulli likelihood heads (§3a).
+program with no framework state. Encoder emits a *Gaussian natural
+potential* (h, P) per datapoint — diagonal P (reference-matching,
+SURVEY.md §9.4) or Cholesky-parameterized full P (``head="full"``, a strict
+superset); decoders provide Gaussian and Bernoulli likelihood heads (§3a).
 """
 
 from svax.nets import mlp  # noqa: F401
@@ -14,6 +15,7 @@ from svax.nets.mlp import (  # noqa: F401
     decoder_init,
     encoder_apply,
     encoder_init,
+    encoder_out_dim,
     gaussian_loglik,
     mlp_apply,
     mlp_init,

@@ -20,6 +20,7 @@ from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _LOG_2PI = 1.8378770664093453
 _VAR_FLOOR = 1e-6
@@ -65,14 +66,43 @@ def mlp_apply(
 # ---------------------------------------------------------------- encoder
 
 
+def encoder_out_dim(latent_dim: int, head: str = "diag") -> int:
+    """Final-layer width for a recognition head: 2d (diag) or
+    2d + d(d−1)/2 (full — mean, Cholesky diagonal, strict lower triangle)."""
+    if head == "diag":
+        return 2 * latent_dim
+    if head == "full":
+        return 2 * latent_dim + latent_dim * (latent_dim - 1) // 2
+    raise ValueError(f"unknown encoder head {head!r} (diag|full)")
+
+
+def _latent_dim_from_width(width: int, head: str) -> int:
+    """Invert encoder_out_dim (both maps are strictly increasing in d)."""
+    if head == "diag":
+        d = width // 2
+    else:
+        # w = d² /2 + 3d/2  →  d = (−3 + √(9 + 8w)) / 2
+        d = int(round((-3.0 + (9.0 + 8.0 * width) ** 0.5) / 2.0))
+    if encoder_out_dim(d, head) != width:
+        raise ValueError(
+            f"encoder final-layer width {width} is not a {head!r}-head "
+            f"width (expected {encoder_out_dim(d, head)} for d={d})"
+        )
+    return d
+
+
 def encoder_init(
     key: jax.Array,
     input_dim: int,
     hidden: Sequence[int],
     latent_dim: int,
     dtype=jnp.float32,
+    head: str = "diag",
 ) -> list[dict]:
-    return mlp_init(key, [input_dim, *hidden, 2 * latent_dim], dtype=dtype)
+    return mlp_init(
+        key, [input_dim, *hidden, encoder_out_dim(latent_dim, head)],
+        dtype=dtype,
+    )
 
 
 def encoder_apply(
@@ -80,17 +110,43 @@ def encoder_apply(
     x: jnp.ndarray,
     activation: Callable = jnp.tanh,
     precision=jax.lax.Precision.HIGHEST,
+    head: str = "diag",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """x (N, D) → diagonal Gaussian natural potential (h, p), each (N, d).
+    """x (N, D) → Gaussian natural potential (h, P).
 
-    p = 1/σ², h = μ/σ² — the recognition-network message the SIN combine
-    adds to the expected GMM component naturals (SURVEY.md §9.4).
+    ``head="diag"`` (reference-matching, SURVEY.md §9.4): P is the (N, d)
+    diagonal precision p = 1/(softplus(raw) + floor), h = mean · p.
+
+    ``head="full"`` (capability extension; the redraw-gap probe showed the
+    diagonal family is part of the residual gap on hard draws): P is a
+    full (N, d, d) precision L·Lᵀ with the Cholesky DIAGONAL parameterized
+    as 1/√(softplus(raw) + floor) — so zero off-diagonal outputs reproduce
+    the diagonal head EXACTLY (same variance floor / precision ceiling),
+    making "full" a strict superset with identical guard semantics.
+    h = P · mean either way; sin_combine accepts both shapes.
     """
     out = mlp_apply(params, x, activation, precision)
-    mean, raw = jnp.split(out, 2, axis=-1)
-    var = jax.nn.softplus(raw) + _VAR_FLOOR
-    p = 1.0 / var
-    return mean * p, p
+    if head == "diag":
+        mean, raw = jnp.split(out, 2, axis=-1)
+        var = jax.nn.softplus(raw) + _VAR_FLOOR
+        p = 1.0 / var
+        return mean * p, p
+    d = _latent_dim_from_width(out.shape[-1], head)
+    mean, raw, off = jnp.split(out, [d, 2 * d], axis=-1)
+    ldiag = 1.0 / jnp.sqrt(jax.nn.softplus(raw) + _VAR_FLOOR)
+    idx = jnp.arange(d)
+    ell = jnp.zeros(out.shape[:-1] + (d, d), out.dtype)
+    ell = ell.at[..., idx, idx].set(ldiag)
+    if d > 1:
+        rr, cc = np.tril_indices(d, -1)
+        ell = ell.at[..., rr, cc].set(off)
+    p_full = jnp.einsum(
+        "...ij,...kj->...ik", ell, ell, precision=jax.lax.Precision.HIGHEST
+    )
+    h = jnp.einsum(
+        "...ij,...j->...i", p_full, mean, precision=jax.lax.Precision.HIGHEST
+    )
+    return h, p_full
 
 
 # ---------------------------------------------------------------- decoders

@@ -577,6 +577,7 @@ def supported(config, *, d_in: int, encoder_hidden, decoder_hidden) -> bool:
         and d_in <= 8
         and config.likelihood == "gaussian"
         and config.recon_mode == "weighted"
+        and getattr(config, "encoder_head", "diag") == "diag"
         and len(encoder_hidden) == 2
         and len(decoder_hidden) == 2
         and config.activation is jnp.tanh

@@ -843,6 +843,7 @@ def supported(config, *, batch_full: bool, encoder_hidden, decoder_hidden,
         config.latent_dim == 2
         and config.likelihood == "gaussian"
         and config.recon_mode == "weighted"
+        and getattr(config, "encoder_head", "diag") == "diag"
         and len(encoder_hidden) == 2
         and len(decoder_hidden) == 2
         and encoder_hidden == decoder_hidden

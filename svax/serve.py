@@ -69,6 +69,7 @@ class ModelSpec:
     smm_iters: int = 2
     activation: str = "tanh"
     num_total: int = 1
+    encoder_head: str = "diag"  # or "full" (nets.encoder_apply docstring)
 
     def to_config(self) -> SvaeConfig:
         return SvaeConfig(
@@ -80,6 +81,7 @@ class ModelSpec:
             activation=_ACTIVATIONS[self.activation],
             dof=self.dof,
             smm_iters=self.smm_iters,
+            encoder_head=self.encoder_head,
         )
 
     def make_prior(self):
@@ -206,7 +208,9 @@ class SvaeServer:
 
         def posterior(x):
             exp = gmm.expected_params(pgm_nat)
-            pot_h, pot_p = nets.encoder_apply(nn_params["encoder"], x, act)
+            pot_h, pot_p = nets.encoder_apply(
+                nn_params["encoder"], x, act, head=spec.encoder_head
+            )
             if dof > 0.0:
                 from svax.models import svae_smm
 

@@ -45,13 +45,18 @@ from svax.train import svae_step
 from svax.train.loop import make_minibatch_scan_runner, make_scan_runner
 
 
-def encoded_latent_means(nn_params, x: jnp.ndarray) -> jnp.ndarray:
+def encoded_latent_means(
+    nn_params, x: jnp.ndarray, head: str = "diag"
+) -> jnp.ndarray:
     """Latent-space means implied by the encoder's Gaussian potentials.
 
-    The encoder emits information-form potentials (h = J·m, diagonal J);
-    the mean is h / J. (N, input_dim) → (N, latent_dim).
+    The encoder emits information-form potentials h = J·m with J diagonal
+    (``head="diag"``: mean = h / J) or full (``head="full"``: mean =
+    J⁻¹h). (N, input_dim) → (N, latent_dim).
     """
-    pot_h, pot_prec = nets.encoder_apply(nn_params["encoder"], x)
+    pot_h, pot_prec = nets.encoder_apply(nn_params["encoder"], x, head=head)
+    if pot_prec.ndim == pot_h.ndim + 1:
+        return jnp.linalg.solve(pot_prec, pot_h[..., None])[..., 0]
     return pot_h / pot_prec
 
 
@@ -65,6 +70,7 @@ def reseed_from_encoder(
     cov_scale: float = 0.0,
     max_points: int = 20000,
     reset_step: bool = True,
+    head: str = "diag",
 ):
     """Replace q's naturals with k-means++ seeds in the CURRENT latent space.
 
@@ -79,7 +85,9 @@ def reseed_from_encoder(
     """
     k = prior.dir_nat.shape[0]
     lat = np.asarray(
-        jax.device_get(encoded_latent_means(state.nn_params, x[:max_points])),
+        jax.device_get(
+            encoded_latent_means(state.nn_params, x[:max_points], head=head)
+        ),
         dtype=np.float64,
     )
     centers = pgm_init.kmeanspp_centers(lat, k, seed=seed)
@@ -124,10 +132,11 @@ def vae_warmup_reseed(
     ``steps`` ordinary step times, after which any engine (including the
     megakernels) continues from the reseeded state.
     """
+    head = getattr(config, "encoder_head", "diag")
     if steps <= 0:
         return reseed_from_encoder(
             state, x, prior, seed=seed,
-            pseudo_counts=pseudo_counts, cov_scale=cov_scale,
+            pseudo_counts=pseudo_counts, cov_scale=cov_scale, head=head,
         )
     n = x.shape[0]
     batch = batch_size or n
@@ -157,5 +166,5 @@ def vae_warmup_reseed(
             done += todo
     return reseed_from_encoder(
         state, x, prior, seed=seed,
-        pseudo_counts=pseudo_counts, cov_scale=cov_scale,
+        pseudo_counts=pseudo_counts, cov_scale=cov_scale, head=head,
     )
