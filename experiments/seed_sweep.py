@@ -62,6 +62,10 @@ def main() -> None:
                     help="SvaeConfig.nn_precision; under --engine mega "
                          "'high' maps to HIGHEST kernel dots (Mosaic has "
                          "no bf16x3) and 'default' to 1-pass bf16")
+    ap.add_argument("--encoder-head", choices=["diag", "full"],
+                    default="diag",
+                    help="recognition-potential family (SvaeConfig."
+                         "encoder_head); 'full' forces --engine xla")
     ap.add_argument("--redraw-data", action="store_true",
                     help="redraw the pinwheel per seed (round-2 protocol) "
                          "and compute the per-draw pure-GMM exact "
@@ -101,7 +105,8 @@ def main() -> None:
             "highest": jax.lax.Precision.HIGHEST,
             "default": jax.lax.Precision.DEFAULT}[args.nn_precision]
     config = SvaeConfig(latent_dim=2, num_components=k, num_samples=s,
-                        num_total=n, nn_precision=prec)
+                        num_total=n, nn_precision=prec,
+                        encoder_head=args.encoder_head)
     prior = gmm.make_prior(k, 2, kappa=0.05)
     opt = optax.adam(lr)
 

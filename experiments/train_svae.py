@@ -101,6 +101,12 @@ def main() -> None:
                         "kernel via the hardware PRNG (drops the threefry "
                         "op + HBM round-trip; different random stream "
                         "than jax.random)")
+    p.add_argument("--encoder-head", choices=["diag", "full"],
+                   default="diag",
+                   help="recognition-potential family: 'diag' (reference-"
+                        "matching) or 'full' — Cholesky-parameterized full "
+                        "per-point precision, a strict superset (XLA engine "
+                        "only; the megakernels gate it loudly)")
     p.add_argument("--recon-mode", choices=["weighted", "sampled"],
                    default="weighted",
                    help="recon estimator: 'weighted' decodes all K "
@@ -188,6 +194,7 @@ def main() -> None:
         remat_decoder=args.remat_decoder,
         fused_mlp_decoder=args.fused_mlp_decoder,
         kernel_rng=args.kernel_rng,
+        encoder_head=args.encoder_head,
     )
     model = svae_mod_select(args.smm_dof)
     prior = gmm.make_prior(

@@ -142,7 +142,8 @@ def megakernel_unsupported_reason(
     if tiny_ok or flex_ok:
         return None
     return (
-        "outside both megakernel shape classes (tinystep: latent d=2, "
+        "outside both megakernel shape classes (both: diagonal recognition "
+        "head only; tinystep: latent d=2, "
         "Gaussian likelihood, weighted recon, matched 2-hidden-layer MLPs, "
         "full batch, constant rho, zero jitter, GMM or SMM prior, "
         "in-kernel input-noise augmentation; flexstep: GMM prior, "
@@ -196,6 +197,13 @@ def make_megakernel_runner(
     from svax.ops import tinystep_pallas as tsp
     from svax.pgm import gmm
 
+    if getattr(config, "encoder_head", "diag") != "diag":
+        raise ValueError(
+            "megakernels implement the diagonal recognition head only "
+            "(encoder_head='diag'); the full-covariance head runs on the "
+            "XLA engine — check megakernel_unsupported_reason before "
+            "building the runner"
+        )
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     # Mosaic has no bf16x3 HIGH: DEFAULT stays single-pass bf16, anything
