@@ -112,6 +112,31 @@ def test_smm_server(tmp_path):
     assert np.all(np.isfinite(s))
 
 
+def test_full_head_server(tmp_path):
+    """Bundle round-trip + AOT export for encoder_head='full' (round 4):
+    the spec field must survive the disk round-trip, and the rebuilt
+    posterior must consume the (N, d, d) potential."""
+    spec = serve.ModelSpec(
+        input_dim=2, latent_dim=2, num_components=3, likelihood="gaussian",
+        encoder_hidden=(8,), decoder_hidden=(8,), num_total=100,
+        encoder_head="full",
+    )
+    state, x = _trained_state(spec, steps=10, seed=2)
+    serve.save_bundle(tmp_path / "full", state, spec)
+    server = serve.load_bundle(tmp_path / "full", buckets=(16,))
+    assert server.spec.encoder_head == "full"
+    out = server.encode(np.asarray(x)[:6])
+    assert np.all(np.isfinite(out["z_mean"]))
+    s = server.score(np.asarray(x)[:6], num_samples=10)
+    assert np.all(np.isfinite(s))
+    serve.export_serving(server, tmp_path / "full_exp", score_samples=10)
+    exp = serve.load_exported(tmp_path / "full_exp")
+    np.testing.assert_allclose(
+        np.asarray(exp.encode(np.asarray(x)[:6])["z_mean"]),
+        np.asarray(out["z_mean"]), rtol=1e-6,
+    )
+
+
 @pytest.fixture(scope="module")
 def exported(server, tmp_path_factory):
     path = tmp_path_factory.mktemp("exports")
