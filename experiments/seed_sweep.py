@@ -41,6 +41,9 @@ def main() -> None:
     ap.add_argument("--variants", nargs="+",
                     default=["base", "kpp", "warmup", "kpp+warmup"])
     ap.add_argument("--num-seeds", type=int, default=8)
+    ap.add_argument("--seed-list", type=int, nargs="+", default=None,
+                    help="explicit seeds to run (overrides --num-seeds); "
+                         "e.g. the redraw table's below-bar draws 4 6")
     ap.add_argument("--steps", type=int, default=15000)
     ap.add_argument("--chunk", type=int, default=1000)
     ap.add_argument("--iw-samples", type=int, default=1000)
@@ -194,7 +197,9 @@ def main() -> None:
                 decoder_hidden=(50, 50))
         runner = make_scan_runner(step, v_chunk)
         rows = []
-        for seed in range(args.num_seeds):
+        seeds = (args.seed_list if args.seed_list is not None
+                 else range(args.num_seeds))
+        for seed in seeds:
             if args.redraw_data:
                 train, x, xt = draw(seed)
             bar = (gmm_bar(train, xt) if args.redraw_data
