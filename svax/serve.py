@@ -21,9 +21,11 @@ production side of the framework:
 
 Endpoints: ``encode`` (structured posterior: latent mean, responsibilities,
 hard cluster), ``score`` (importance-weighted log-likelihood per point),
-``reconstruct`` (decoder pass at the posterior mean), and ``generate``
-(sample the generative model). GMM- and SMM-prior (Student-t) SVAEs both
-serve; the plain VAE has its own lighter path via ``evaluation.vae_iw_loglik``.
+``reconstruct`` (decoder pass at the posterior mean), ``impute``
+(missing-data fill-in by iterated encode → posterior-mean decode), and
+``generate`` (sample the generative model). GMM- and SMM-prior (Student-t)
+SVAEs both serve; the plain VAE has its own lighter path via
+``evaluation.vae_iw_loglik``.
 
 * **AOT export.** ``export_serving`` ahead-of-time lowers every
   endpoint × bucket to serialized StableHLO (``jax.export``) with the
@@ -251,15 +253,36 @@ class SvaeServer:
             )
             return fn(nn_params, pgm_nat, x, key, self.config, num_samples)
 
+        def impute_fn(xm, num_iters):
+            # Missing-data fill-in: xm packs [x | mask] on the feature axis
+            # (mask 1 = observed, 0 = missing) so the bucket dispatch pads
+            # one array; padded rows arrive all-missing and are discarded.
+            # Iterate encode → combine → posterior-mean decode, writing the
+            # reconstruction back into the missing coordinates only — the
+            # conditional-mean fixed point of the structured posterior
+            # (SURVEY.md §9.4's combine is the machinery; the standard
+            # SVAE imputation protocol). Observed coordinates pass through
+            # bit-exactly.
+            x, mask = jnp.split(xm, 2, axis=-1)
+            x0 = mask * x
+
+            def body(x_cur, _):
+                return mask * x + (1.0 - mask) * reconstruct_fn(x_cur), None
+
+            out, _ = jax.lax.scan(body, x0, None, length=num_iters)
+            return out
+
         self._encode = jax.jit(encode_fn)
         self._reconstruct = jax.jit(reconstruct_fn)
         self._score = jax.jit(score_fn, static_argnums=(2,))
+        self._impute = jax.jit(impute_fn, static_argnums=(1,))
         # Unjitted endpoint bodies — export_serving re-wraps them with
         # export-friendly signatures (seed scalar instead of a PRNG key).
         self._raw_fns = {
             "encode": encode_fn,
             "reconstruct": reconstruct_fn,
             "score": score_fn,
+            "impute": impute_fn,
         }
 
     # ------------------------------------------------------------- helpers
@@ -289,6 +312,25 @@ class SvaeServer:
         """Hard cluster assignment, (n,) int."""
         return self.encode(x)["component"]
 
+    def impute(self, x, mask, num_iters: int = 10):
+        """Fill missing coordinates by iterated posterior-mean decoding.
+
+        ``mask`` is 1 where ``x`` is observed and 0 where it is missing
+        (broadcastable to ``x``'s shape). Missing entries of ``x`` are
+        ignored (any placeholder value works); observed entries are
+        returned untouched. Returns (n, input_dim): decoder means for
+        Gaussian likelihoods, pixel probabilities for Bernoulli.
+        """
+        x = np.asarray(x, dtype=np.float32)
+        if x.ndim == 1:
+            x = x[None]
+        mask = np.broadcast_to(
+            np.asarray(mask, dtype=np.float32), x.shape
+        ).astype(np.float32)
+        # np.where, not x*mask: NaN placeholders must not leak (NaN*0=NaN).
+        xm = np.concatenate([np.where(mask > 0, x, 0.0), mask], axis=-1)
+        return self._batched(self._impute, xm, num_iters)
+
     def generate(self, num: int, key=None, sample_params: bool = False):
         """Sample the generative model: (x, z, component labels)."""
         from svax.models import svae as svae_mod
@@ -308,6 +350,7 @@ _EXPORT_MANIFEST = "exports.json"
 
 def export_serving(server: SvaeServer, directory: str | Path,
                    buckets=None, score_samples: int = 100,
+                   impute_iters: int = 10,
                    platforms=("cpu", "tpu")) -> dict:
     """Ahead-of-time lower every endpoint × bucket to serialized StableHLO.
 
@@ -316,8 +359,9 @@ def export_serving(server: SvaeServer, directory: str | Path,
     platform in ``platforms``) plus a manifest, so ``load_exported`` can
     serve WITHOUT the model code, the checkpoint, or a re-trace. ``score``
     is exported at a fixed ``score_samples`` with an int32 seed input
-    (the PRNG key is built inside the artifact). ``generate`` is not
-    exported — its output shape is request-dependent; use a bundle.
+    (the PRNG key is built inside the artifact); ``impute`` at a fixed
+    ``impute_iters`` over the packed ``[x | mask]`` input. ``generate`` is
+    not exported — its output shape is request-dependent; use a bundle.
 
     Returns the manifest dict. Lowering is pure client-side (no device
     needed for either platform), which is also why this works while the
@@ -334,24 +378,33 @@ def export_serving(server: SvaeServer, directory: str | Path,
     def score_seeded(x, seed):
         return score_fn(x, jax.random.PRNGKey(seed), score_samples)
 
+    impute_raw = server._raw_fns["impute"]
+
+    def impute_fixed(xm):
+        return impute_raw(xm, impute_iters)
+
+    # (fn, extra example args, input width) — impute takes the packed
+    # [x | mask] array, twice the feature width.
     endpoints = {
-        "encode": (server._raw_fns["encode"], ()),
-        "reconstruct": (server._raw_fns["reconstruct"], ()),
-        "score": (score_seeded, (jax.ShapeDtypeStruct((), jnp.int32),)),
+        "encode": (server._raw_fns["encode"], (), d_in),
+        "reconstruct": (server._raw_fns["reconstruct"], (), d_in),
+        "score": (score_seeded, (jax.ShapeDtypeStruct((), jnp.int32),), d_in),
+        "impute": (impute_fixed, (), 2 * d_in),
     }
     manifest = {
         "input_dim": d_in,
         "buckets": list(buckets),
         "score_samples": score_samples,
+        "impute_iters": impute_iters,
         "platforms": list(platforms),
         "artifacts": {},
     }
-    for name, (fn, extra_args) in endpoints.items():
+    for name, (fn, extra_args, width) in endpoints.items():
         jfn = jax.jit(fn)
         files = {}
         for b in buckets:
             exp = jexport.export(jfn, platforms=list(platforms))(
-                jax.ShapeDtypeStruct((b, d_in), jnp.float32), *extra_args
+                jax.ShapeDtypeStruct((b, width), jnp.float32), *extra_args
             )
             fname = f"{name}_{b}.stablehlo"
             (directory / fname).write_bytes(exp.serialize())
@@ -383,6 +436,8 @@ class ExportedServer:
         manifest = json.loads((directory / _EXPORT_MANIFEST).read_text())
         self.input_dim = int(manifest["input_dim"])
         self.score_samples = int(manifest["score_samples"])
+        # Pre-impute manifests (≤ round 4) lack the key; impute() raises.
+        self.impute_iters = int(manifest.get("impute_iters", 0))
         self._buckets = tuple(sorted(int(b) for b in manifest["buckets"]))
         self._arts = {
             name: {
@@ -417,3 +472,22 @@ class ExportedServer:
 
     def cluster(self, x):
         return self.encode(x)["component"]
+
+    def impute(self, x, mask):
+        """Missing-data fill-in at the manifest's fixed iteration count
+        (``impute_iters``); same mask contract as ``SvaeServer.impute``."""
+        if "impute" not in self._arts:
+            raise KeyError(
+                "this export predates the impute endpoint — re-run "
+                "export_serving to regenerate the artifacts"
+            )
+        x = np.asarray(x, dtype=np.float32)
+        if x.ndim == 1:
+            x = x[None]
+        mask = np.broadcast_to(
+            np.asarray(mask, dtype=np.float32), x.shape
+        ).astype(np.float32)
+        xm = np.concatenate([np.where(mask > 0, x, 0.0), mask], axis=-1)
+        return _bucketed_dispatch(
+            self._buckets, lambda p: self._call("impute", p), xm
+        )

@@ -78,6 +78,26 @@ def test_score_and_reconstruct(server):
     assert r.shape == x.shape and np.all(np.isfinite(r))
 
 
+def test_impute(server):
+    x = make_pinwheel_data(num_per_class=5, seed=2).astype(np.float32)
+    mask = np.ones_like(x)
+    mask[:, 1] = 0.0  # second coordinate missing everywhere
+    x_nan = x.copy()
+    x_nan[:, 1] = np.nan  # placeholder values must not leak into the fill
+    out = server.impute(x_nan, mask, num_iters=8)
+    assert out.shape == x.shape and np.all(np.isfinite(out))
+    # Observed coordinates pass through bit-exactly.
+    np.testing.assert_array_equal(out[:, 0], x[:, 0])
+    # The fill actually moved off the zero initialisation.
+    assert np.any(np.abs(out[:, 1]) > 1e-6)
+    # More iterations ≈ the same fixed point (posterior-mean iteration
+    # converges on this smooth toy model).
+    out2 = server.impute(x_nan, mask, num_iters=12)
+    np.testing.assert_allclose(out2, out, atol=1e-3)
+    # All-observed mask is the identity.
+    np.testing.assert_array_equal(server.impute(x, np.ones_like(x)), x)
+
+
 def test_generate(server):
     x, z, labels = server.generate(12, key=jax.random.PRNGKey(4))
     assert x.shape == (12, 2) and z.shape == (12, 2) and labels.shape == (12,)
@@ -141,7 +161,9 @@ def test_full_head_server(tmp_path):
 def exported(server, tmp_path_factory):
     path = tmp_path_factory.mktemp("exports")
     manifest = serve.export_serving(server, path, score_samples=20)
-    assert set(manifest["artifacts"]) == {"encode", "reconstruct", "score"}
+    assert set(manifest["artifacts"]) == {
+        "encode", "reconstruct", "score", "impute"
+    }
     return serve.load_exported(path)
 
 
@@ -162,6 +184,15 @@ def test_exported_matches_live_server(server, exported):
     s_live = server.score(x, key=jax.random.PRNGKey(7), num_samples=20)
     s_aot = exported.score(x, seed=7)
     assert s_aot.shape == s_live.shape and np.all(np.isfinite(s_aot))
+    # impute: the artifact (fixed manifest iteration count) matches the
+    # live endpoint at the same num_iters.
+    mask = np.ones_like(x, dtype=np.float32)
+    mask[::2, 0] = 0.0
+    np.testing.assert_allclose(
+        exported.impute(x, mask),
+        server.impute(x, mask, num_iters=exported.impute_iters),
+        rtol=1e-6, atol=1e-6,
+    )
 
 
 def test_exported_bucket_contract(exported):
