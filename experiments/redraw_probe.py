@@ -37,6 +37,13 @@ both with the table's protocol key and sample count.
 
 Writes runs/redraw_probe.json.
 
+`--data-seed 0` switches to the CANONICAL protocol (data fixed at the
+seed-0 draw, --seeds vary the model init — seed_sweep's default mode);
+run on the canonical table's below-bar seeds 3/6 it found amortization
+slack ≤ 0.012 nat with 0.10/0.02 nat of family gap remaining
+(runs/canonical_probe.json) — both quality protocols sit at the same
+kind of family ceiling.
+
 Usage: python experiments/redraw_probe.py [--seeds 2 4 6] [--opt-steps 3000]
 """
 
@@ -76,6 +83,12 @@ def main() -> None:
                          "strictly larger message family, isolating whether "
                          "the residual family gap is the DIAGONAL constraint "
                          "or the mixture/decoder structure itself")
+    ap.add_argument("--data-seed", type=int, default=None,
+                    help="fix the pinwheel draw at this seed (CANONICAL "
+                         "protocol: --seeds become MODEL seeds over one "
+                         "shared draw, matching seed_sweep's default mode); "
+                         "default None redraws the data per seed (the "
+                         "round-2 redraw protocol)")
     ap.add_argument("--json", default="runs/redraw_probe.json")
     ap.add_argument("--platform", choices=["default", "cpu"],
                     default="default")
@@ -257,7 +270,8 @@ def main() -> None:
 
     rows = []
     for seed in args.seeds:
-        train, test = load_pinwheel(seed=seed)
+        train, test = load_pinwheel(
+            seed=seed if args.data_seed is None else args.data_seed)
         x = jnp.asarray(train, jnp.float32)
         xt = jnp.asarray(test, jnp.float32)
         bar = gmm_bar(train, xt)
@@ -302,8 +316,11 @@ def main() -> None:
         f"mixed: {crossed}/{len(rows)} draws cross once amortization is "
         "removed (recipe-attackable); the rest are family/model gaps — "
         "see per-row amortization_gap vs family_gap_vs_bar")
+    proto_name = ("redraw-table" if args.data_seed is None
+                  else f"canonical-table (draw fixed at seed "
+                       f"{args.data_seed})")
     summary = {
-        "protocol": (f"redraw-table recipe (aug{args.aug}+rs{args.restarts}"
+        "protocol": (f"{proto_name} recipe (aug{args.aug}+rs{args.restarts}"
                      f"+steps{args.steps}) on the below-bar draws; local-opt"
                      f" = per-test-point {args.potential} potentials vs the "
                      f"{args.objective} objective ({args.opt_steps} Adam "
