@@ -38,11 +38,18 @@ both with the table's protocol key and sample count.
 Writes runs/redraw_probe.json.
 
 `--data-seed 0` switches to the CANONICAL protocol (data fixed at the
-seed-0 draw, --seeds vary the model init — seed_sweep's default mode);
-run on the canonical table's below-bar seeds 3/6 it found amortization
-slack ≤ 0.012 nat with 0.10/0.02 nat of family gap remaining
-(runs/canonical_probe.json) — both quality protocols sit at the same
-kind of family ceiling.
+seed-0 draw, --seeds vary the model init — seed_sweep's default mode).
+The committed canonical artifact (runs/canonical_probe.json) was
+produced with the canonical recipe, which differs from this script's
+redraw-protocol defaults — reproduce it with the FULL command:
+
+  python experiments/redraw_probe.py --data-seed 0 --seeds 3 6 \
+      --aug 0.4 --restarts 2 --steps 15000
+
+It found amortization slack ≤ 0.012 nat with 0.10/0.02 nat of family
+gap remaining; the probe's XLA scan runner matches the megakernel
+table rows to ~0.02 nat (different per-chunk key stream — see
+BASELINE.md) — both quality protocols sit at the same family ceiling.
 
 Usage: python experiments/redraw_probe.py [--seeds 2 4 6] [--opt-steps 3000]
 """

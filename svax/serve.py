@@ -143,6 +143,23 @@ def load_bundle(directory: str | Path, buckets=_DEFAULT_BUCKETS) -> "SvaeServer"
     return SvaeServer(state.nn_params, state.pgm_nat, spec, buckets=buckets)
 
 
+def _pack_masked(x, mask):
+    """Pack ``[x | mask]`` on the feature axis (shared impute preamble).
+
+    The mask is binarized after broadcast — any truthy value means
+    "observed" — so a fractional mask cannot silently blend the zeroed
+    placeholder with the reconstruction inside the fixed-point update
+    (which uses the mask as a float multiplier). np.where, not ``x*mask``:
+    NaN placeholders must not leak (NaN*0=NaN). Shared by both serving
+    tiers so the mask contract cannot drift between live and AOT.
+    """
+    x = np.asarray(x, dtype=np.float32)
+    if x.ndim == 1:
+        x = x[None]
+    mask = (np.broadcast_to(np.asarray(mask), x.shape) > 0).astype(np.float32)
+    return np.concatenate([np.where(mask > 0, x, 0.0), mask], axis=-1)
+
+
 def _pick_bucket(buckets, n: int) -> int:
     for b in buckets:
         if n <= b:
@@ -315,21 +332,14 @@ class SvaeServer:
     def impute(self, x, mask, num_iters: int = 10):
         """Fill missing coordinates by iterated posterior-mean decoding.
 
-        ``mask`` is 1 where ``x`` is observed and 0 where it is missing
-        (broadcastable to ``x``'s shape). Missing entries of ``x`` are
-        ignored (any placeholder value works); observed entries are
-        returned untouched. Returns (n, input_dim): decoder means for
-        Gaussian likelihoods, pixel probabilities for Bernoulli.
+        ``mask`` is truthy where ``x`` is observed and 0 where it is
+        missing (broadcastable to ``x``'s shape; binarized internally).
+        Missing entries of ``x`` are ignored (any placeholder value
+        works); observed entries are returned untouched. Returns
+        (n, input_dim): decoder means for Gaussian likelihoods, pixel
+        probabilities for Bernoulli.
         """
-        x = np.asarray(x, dtype=np.float32)
-        if x.ndim == 1:
-            x = x[None]
-        mask = np.broadcast_to(
-            np.asarray(mask, dtype=np.float32), x.shape
-        ).astype(np.float32)
-        # np.where, not x*mask: NaN placeholders must not leak (NaN*0=NaN).
-        xm = np.concatenate([np.where(mask > 0, x, 0.0), mask], axis=-1)
-        return self._batched(self._impute, xm, num_iters)
+        return self._batched(self._impute, _pack_masked(x, mask), num_iters)
 
     def generate(self, num: int, key=None, sample_params: bool = False):
         """Sample the generative model: (x, z, component labels)."""
@@ -481,13 +491,6 @@ class ExportedServer:
                 "this export predates the impute endpoint — re-run "
                 "export_serving to regenerate the artifacts"
             )
-        x = np.asarray(x, dtype=np.float32)
-        if x.ndim == 1:
-            x = x[None]
-        mask = np.broadcast_to(
-            np.asarray(mask, dtype=np.float32), x.shape
-        ).astype(np.float32)
-        xm = np.concatenate([np.where(mask > 0, x, 0.0), mask], axis=-1)
         return _bucketed_dispatch(
-            self._buckets, lambda p: self._call("impute", p), xm
+            self._buckets, lambda p: self._call("impute", p), _pack_masked(x, mask)
         )

@@ -105,3 +105,22 @@ def test_augment_step_wrapper():
     expected = x + 0.5 * jax.random.normal(k1, x.shape, x.dtype)
     np.testing.assert_allclose(np.asarray(xb), np.asarray(expected))
     assert float(jnp.max(jnp.abs(xb - x))) > 0.0
+
+
+def test_pack_masked_binarizes_and_blocks_nan():
+    """serve._pack_masked: any truthy mask value means 'observed' (the
+    fixed-point update uses the mask as a float multiplier, so a
+    fractional mask must be binarized — ADVICE r4), and NaN placeholders
+    in masked-out slots must not leak through the packing."""
+    from svax.serve import _pack_masked
+
+    x = np.array([[1.0, np.nan], [3.0, 4.0]], np.float32)
+    mask = np.array([[0.5, 0.0], [1.0, 0.25]], np.float32)
+    xm = _pack_masked(x, mask)
+    assert xm.shape == (2, 4)
+    packed_x, packed_m = xm[:, :2], xm[:, 2:]
+    np.testing.assert_array_equal(packed_m, [[1.0, 0.0], [1.0, 1.0]])
+    np.testing.assert_array_equal(packed_x, [[1.0, 0.0], [3.0, 4.0]])
+    # 1-D input promotes to a single row; mask broadcasts.
+    xm1 = _pack_masked(np.array([1.0, 2.0], np.float32), 1.0)
+    np.testing.assert_array_equal(xm1, [[1.0, 2.0, 1.0, 1.0]])

@@ -96,6 +96,11 @@ def test_impute(server):
     np.testing.assert_allclose(out2, out, atol=1e-3)
     # All-observed mask is the identity.
     np.testing.assert_array_equal(server.impute(x, np.ones_like(x)), x)
+    # A fractional mask binarizes to 'observed' (ADVICE r4): 0.5
+    # everywhere is the identity too, not a placeholder/recon blend.
+    np.testing.assert_array_equal(
+        server.impute(x, np.full_like(x, 0.5)), x
+    )
 
 
 def test_generate(server):
