@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from svax.data import make_pinwheel_data
 from svax.models.svae import SvaeConfig
@@ -412,3 +413,46 @@ def test_gmm_trainer_auto_engine_falls_back_off_tpu():
     state = trainer.fit(x_train)
     assert trainer.make_megakernel_runner() is None  # CPU → no kernel
     assert int(state.step) == 4
+
+
+@pytest.mark.slow  # ~16s warm; the fast tier covers runner-level resume
+def test_megakernel_trainer_resume_bitexact_and_skips_warmup(tmp_path):
+    """Trainer-level checkpoint/resume through the megakernel engine
+    (VERDICT r4 #1): interrupt at the chunk boundary, restore from orbax,
+    finish — final state is bit-identical to the uninterrupted run, and
+    the warmup phase is NOT re-run on resume (the TrainerConfig promise:
+    "skipped automatically when resuming from a checkpoint past step 0")."""
+    x_train, _ = _data()
+    x_train = x_train.astype(jnp.float32)
+    mc = SvaeConfig(latent_dim=2, num_components=4, num_samples=2,
+                    num_total=x_train.shape[0])
+
+    warmup_calls = []
+
+    class SpyTrainer(SvaeTrainer):
+        def warmup(self, state, x, key):
+            warmup_calls.append(int(self.tc.steps))
+            return super().warmup(state, x, key)
+
+    def tc(steps, ckpt):
+        return TrainerConfig(
+            steps=steps, eval_every=4, scan_chunk=4, lr=3e-3, rho=0.2,
+            encoder_hidden=(16, 16), decoder_hidden=(16, 16),
+            engine="megakernel", warmup_steps=4,
+            checkpoint_dir=str(ckpt),
+        )
+
+    # Uninterrupted: warmup(4) + 8 megakernel steps in two chunks.
+    ref = SpyTrainer(mc, tc(8, tmp_path / "ref"), input_dim=2).fit(x_train)
+    assert warmup_calls == [8]
+
+    # Interrupted at step 4, then resumed to 8 with a FRESH trainer.
+    SpyTrainer(mc, tc(4, tmp_path / "cut"), input_dim=2).fit(x_train)
+    assert warmup_calls == [8, 4]
+    resumed = SpyTrainer(mc, tc(8, tmp_path / "cut"), input_dim=2).fit(x_train)
+    # The resumed fit restored step 4 > 0 → warmup must NOT run again.
+    assert warmup_calls == [8, 4]
+
+    assert int(resumed.step) == 8
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(resumed)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
