@@ -131,10 +131,21 @@ def run_comparison(args, results):
     held-out split: SVAE/VAE by the IW bound at identical sample count
     (evaluation.svae_iw_loglik / vae_iw_loglik), the GMM by its EXACT
     posterior predictive (gmm_predictive_log_prob — a strictly stronger
-    number than an IW bound, which only flatters the baseline). MNIST has
-    no GMM row: a Gaussian mixture DENSITY on binarized pixels is not
-    commensurable with the Bernoulli likelihoods' log-MASS, so the row is
-    marked not-comparable rather than faked. Writes runs/comparison.json.
+    number than an IW bound, which only flatters the baseline). MNIST's
+    third model is a conjugate BERNOULLI mixture (Beta–Bernoulli CVI,
+    svax/models/bmm_baseline.py) scored by its exact posterior
+    predictive log-mass — commensurable with the Bernoulli decoders,
+    unlike a Gaussian-mixture density on binarized pixels.
+
+    ``--comparison-engine mega`` routes the SVAE leg through the
+    whole-train-step megakernel where the workload is in a kernel shape
+    class (pinwheel: tinystep with in-kernel augmentation — the exact
+    headline engine bench.py times); legs outside the classes (mnist's
+    warmup phase) run xla and say so in the budget record. SVAE and VAE
+    share seed bases, so the artifact reports PAIRED per-seed deltas
+    (mean ± sd, wins/seeds, |mean|/sem) — the defensible form of the
+    ``svae_beats_vae`` boolean (VERDICT r4 weak #2). Updates only the
+    datasets run inside runs/comparison.json (merge, not overwrite).
     """
     import jax
     import jax.numpy as jnp
@@ -165,7 +176,8 @@ def run_comparison(args, results):
         # VAE with extra parameters.
         "mnist": dict(steps=5000, batch=256, d=8, s=1, hidden=(200, 200),
                       rho=0.1, rho_decay=0.001, aug=0.0, restarts=1,
-                      iw=100, eval_every=500, gmm_steps=0, warmup=1000),
+                      iw=100, eval_every=500, gmm_steps=0, warmup=1000,
+                      bmm_steps=300),
     }
     k, lr = 10, 1e-3
     n_seeds = getattr(args, "comparison_seeds", 1)
@@ -176,6 +188,7 @@ def run_comparison(args, results):
         if args.quick:
             sp = dict(sp, steps=200, eval_every=100, iw=20, restarts=1,
                       gmm_steps=min(sp["gmm_steps"], 60),
+                      bmm_steps=min(sp.get("bmm_steps", 0), 60),
                       warmup=min(sp.get("warmup", 0), 100))
         train, test, meta = load_dataset(ds, seed=0)
         x = jnp.asarray(train, jnp.float32)
@@ -203,6 +216,41 @@ def run_comparison(args, results):
         iw_vae = jax.jit(lambda params, key: float_mean(
             evaluation.vae_iw_loglik(params, xt, key, vconfig,
                                      num_samples=sp["iw"])))
+
+        # --- engine routing for the SVAE leg (VERDICT r4 #3) -----------
+        # "mega" uses the whole-train-step kernel where the workload is
+        # inside a kernel shape class and needs no warmup phase; the
+        # budget record carries which engine each leg actually ran.
+        engine_req = getattr(args, "comparison_engine", "xla")
+        mega_runner = None
+        svae_engine = "xla"
+        if engine_req == "mega" and not sp.get("warmup", 0):
+            from svax.train.loop import (
+                make_megakernel_runner,
+                megakernel_unsupported_reason,
+            )
+
+            reason = megakernel_unsupported_reason(
+                config, batch_full=sp["batch"] == 0,
+                encoder_hidden=tuple(sp["hidden"]),
+                decoder_hidden=tuple(sp["hidden"]), rho=rho0,
+                aug_noise=sp["aug"], input_dim=int(x.shape[1]),
+                rho_decay=decay,
+            )
+            if reason is None:
+                mega_runner = make_megakernel_runner(
+                    config, prior, lr=lr, rho=rho0, rho_decay=decay,
+                    batch_size=sp["batch"], aug_noise=sp["aug"],
+                    encoder_hidden=tuple(sp["hidden"]),
+                    decoder_hidden=tuple(sp["hidden"]),
+                )
+                svae_engine = "mega"
+            else:
+                print(f"[comparison/{ds}] svae leg stays on xla: {reason}",
+                      flush=True)
+        elif engine_req == "mega":
+            print(f"[comparison/{ds}] svae leg stays on xla: warmup phase "
+                  "runs outside the kernels", flush=True)
 
         def train_model(kind, seed_base):
             """Shared SVAE/VAE harness: identical budget, recipe, eval."""
@@ -239,7 +287,13 @@ def run_comparison(args, results):
                 kk, traj = key, []
                 for c in range(n_chunks):
                     kk = jax.random.fold_in(kk, c)
-                    if batch < n:
+                    if kind == "svae" and mega_runner is not None:
+                        # The kernel folds state.step into its seed, so
+                        # chunked launches draw fresh noise (tinystep
+                        # augmentation included) — seed_sweep convention.
+                        st, mets = mega_runner(st, x, chunk,
+                                               seed=seed_base + 1000 * r)
+                    elif batch < n:
                         kb, kr = jax.random.split(kk)
                         idx = jax.random.randint(kb, (chunk, batch), 0, n)
                         st, mets = runner(st, x[idx], kr)
@@ -263,28 +317,64 @@ def run_comparison(args, results):
                 row["iw_best"] = row["iw_final"]
             return row
 
-        def run_seeds(kind):
-            """n_seeds independent runs; iw_best = mean for the orderings."""
-            per_seed = [train_model(kind, 37 * sd) for sd in range(n_seeds)]
-            if n_seeds == 1:
-                return per_seed[0]
+        def run_seeds():
+            """n_seeds runs per model, SHARED seed bases → paired deltas."""
+            import math
             import statistics
 
-            bests = [r["iw_best"] for r in per_seed]
-            return {
-                "iw_best": round(statistics.mean(bests), 3),
-                "iw_best_sd": round(statistics.stdev(bests), 3),
-                "per_seed": per_seed,
-            }
+            per = {"svae": [], "vae": []}
+            for sd in range(n_seeds):
+                for kind in ("svae", "vae"):
+                    per[kind].append(train_model(kind, 37 * sd))
+            out = {}
+            for kind in ("svae", "vae"):
+                if n_seeds == 1:
+                    out[kind] = per[kind][0]
+                    continue
+                bests = [r["iw_best"] for r in per[kind]]
+                out[kind] = {
+                    "iw_best": round(statistics.mean(bests), 3),
+                    "iw_best_sd": round(statistics.stdev(bests), 3),
+                    "per_seed": per[kind],
+                }
+            if n_seeds > 1:
+                # Paired per-seed SVAE−VAE deltas: both models share the
+                # seed base, so seed-level data/init luck cancels and the
+                # verdict is judged against the DELTA's spread, not the
+                # models' marginal sds (VERDICT r4 weak #2).
+                deltas = [s["iw_best"] - v["iw_best"]
+                          for s, v in zip(per["svae"], per["vae"])]
+                mean_d = statistics.mean(deltas)
+                sd_d = statistics.stdev(deltas)
+                sem = sd_d / math.sqrt(n_seeds)
+                out["paired_delta"] = {
+                    "mean": round(mean_d, 4),
+                    "sd": round(sd_d, 4),
+                    "sem": round(sem, 4),
+                    "wins": f"{sum(d > 0 for d in deltas)}/{n_seeds}",
+                    "mean_over_sem": (round(mean_d / sem, 2)
+                                      if sem > 0 else None),
+                }
+            return out
 
+        res = run_seeds()
         row = {
-            "svae": run_seeds("svae"),
-            "vae": run_seeds("vae"),
-            "budget": {kk: sp[kk] for kk in
-                       ("steps", "batch", "d", "s", "hidden", "iw")},
+            "svae": res["svae"],
+            "vae": res["vae"],
+            "budget": {
+                **{kk: sp[kk] for kk in
+                   ("steps", "batch", "d", "s", "hidden", "iw", "rho",
+                    "rho_decay", "aug", "restarts", "eval_every",
+                    "gmm_steps")},
+                "warmup": sp.get("warmup", 0),
+                "lr": lr, "k": k,
+                "svae_engine": svae_engine, "vae_engine": "xla",
+            },
             "seeds": n_seeds,
             "synthetic_data": bool(meta.get("synthetic", False)),
         }
+        if "paired_delta" in res:
+            row["paired_delta"] = res["paired_delta"]
         if sp["gmm_steps"]:
             # The pure-GMM baseline clusters in DATA space — its prior
             # lives at d = x.shape[1], not the SVAE's latent d.
@@ -298,6 +388,32 @@ def run_comparison(args, results):
             row["gmm"] = {"exact_predictive": round(float(pred.mean()), 3)}
             row["svae_beats_gmm"] = bool(
                 row["svae"]["iw_best"] > row["gmm"]["exact_predictive"])
+        elif sp.get("bmm_steps"):
+            # The Bernoulli-likelihood dataset's third model: a conjugate
+            # Bernoulli mixture (Beta–Bernoulli CVI, same natural-gradient
+            # machinery — svax/pgm/bmm.py) scored by its EXACT posterior
+            # predictive log-mass, which IS commensurable with the
+            # SVAE/VAE IW log-mass bounds (VERDICT r4 #5). Full-batch
+            # rho=1 VBEM, same protocol as the pinwheel/auto GMM leg.
+            from svax.models import bmm_baseline
+            from svax.pgm import bmm as bmm_mod
+
+            prior_b = bmm_mod.make_prior(k, int(x.shape[1]))
+            st_b = bmm_baseline.init_state(jax.random.PRNGKey(0), prior_b, x)
+            step_b = jax.jit(bmm_baseline.make_train_step(prior_b, 1.0, n))
+            for _ in range(sp["bmm_steps"]):
+                st_b, _m = step_b(st_b, x)
+            pred_b = bmm_mod.predictive_log_prob(st_b.nat, xt)
+            row["gmm"] = {
+                "bernoulli_mixture_exact_predictive":
+                    round(float(pred_b.mean()), 3),
+                "note": "conjugate Bernoulli mixture (data-space Gaussian "
+                        "GMM density is not commensurable with Bernoulli "
+                        "log-mass; this exact log-mass predictive is)",
+            }
+            row["svae_beats_gmm"] = bool(
+                row["svae"]["iw_best"]
+                > row["gmm"]["bernoulli_mixture_exact_predictive"])
         else:
             row["gmm"] = {"not_comparable":
                           "Gaussian-mixture density on binarized pixels is "
@@ -305,12 +421,25 @@ def run_comparison(args, results):
             row["svae_beats_gmm"] = None
         row["svae_beats_vae"] = bool(
             row["svae"]["iw_best"] > row["vae"]["iw_best"])
+        if "paired_delta" in row:
+            pd = row["paired_delta"]
+            # Defensible form of the boolean: the paired mean clears
+            # twice its standard error (≈95% on the sign).
+            row["svae_beats_vae_significant"] = bool(
+                pd["mean_over_sem"] is not None and pd["mean_over_sem"] > 2.0
+            )
         comparison[ds] = row
-        print(f"[comparison/{ds}] svae {row['svae']}  vae {row['vae']}  "
-              f"gmm {row['gmm']}", flush=True)
+        print(f"[comparison/{ds}] svae {row['svae'].get('iw_best')}  "
+              f"vae {row['vae'].get('iw_best')}  gmm {row['gmm']}  "
+              f"paired {row.get('paired_delta')}", flush=True)
 
     Path("runs").mkdir(exist_ok=True)
-    Path("runs/comparison.json").write_text(json.dumps(comparison, indent=1))
+    out_path = Path("runs/comparison.json")
+    # Merge: a partial run (--comparison-datasets pinwheel) must not drop
+    # the other datasets' committed rows.
+    merged = json.loads(out_path.read_text()) if out_path.exists() else {}
+    merged.update(comparison)
+    out_path.write_text(json.dumps(merged, indent=1))
     results["comparison"] = comparison
     print("wrote runs/comparison.json")
 
@@ -410,6 +539,13 @@ def main() -> None:
     p.add_argument("--comparison-datasets", nargs="+",
                    default=["pinwheel", "auto", "mnist"],
                    choices=["pinwheel", "auto", "mnist"])
+    p.add_argument("--comparison-engine", choices=["xla", "mega"],
+                   default="xla",
+                   help="'mega' trains the SVAE comparison leg through the "
+                        "whole-train-step megakernel where the workload is "
+                        "inside a kernel shape class (pinwheel); legs it "
+                        "cannot serve fall back to xla with a printed "
+                        "reason and the budget records the engine used")
     p.add_argument("--platform", choices=["default", "cpu"], default="default")
     p.add_argument("--out", type=str, default="reproduce_summary.json")
     p.add_argument("--stages", nargs="+", default=["all"],
