@@ -270,21 +270,43 @@ class SvaeServer:
             )
             return fn(nn_params, pgm_nat, x, key, self.config, num_samples)
 
-        def impute_fn(xm, num_iters):
+        def impute_fn(xm, num_iters, hard=False):
             # Missing-data fill-in: xm packs [x | mask] on the feature axis
             # (mask 1 = observed, 0 = missing) so the bucket dispatch pads
             # one array; padded rows arrive all-missing and are discarded.
-            # Iterate encode → combine → posterior-mean decode, writing the
-            # reconstruction back into the missing coordinates only — the
-            # conditional-mean fixed point of the structured posterior
-            # (SURVEY.md §9.4's combine is the machinery; the standard
-            # SVAE imputation protocol). Observed coordinates pass through
-            # bit-exactly.
+            # Iterate encode → combine → decode, writing the reconstruction
+            # back into the missing coordinates only (SURVEY.md §9.4's
+            # combine is the machinery; the standard SVAE imputation
+            # protocol). ``hard=False`` decodes the responsibility-weighted
+            # posterior mean (the conditional-mean fill); ``hard=True``
+            # decodes the MAP component's mean — the decision rule for
+            # MULTIMODAL conditionals, where averaging modes lands off the
+            # data manifold (measured: pinwheel hide-one-coordinate RMSE,
+            # runs/impute_quality.json — a fill only the structured
+            # posterior can offer; a VAE has no components to pick).
+            # Observed coordinates pass through bit-exactly.
             x, mask = jnp.split(xm, 2, axis=-1)
             x0 = mask * x
 
+            def decode_z(z):
+                out = nets.decoder_apply(
+                    nn_params["decoder"], z, spec.likelihood, act
+                )
+                if spec.likelihood == "gaussian":
+                    return out[0]
+                return jax.nn.sigmoid(out)
+
             def body(x_cur, _):
-                return mask * x + (1.0 - mask) * reconstruct_fn(x_cur), None
+                post = posterior(x_cur)
+                if hard:
+                    idx = jnp.argmax(post.log_resp, axis=-1)
+                    z = jnp.take_along_axis(
+                        post.mean, idx[:, None, None], axis=1
+                    )[:, 0]
+                else:
+                    resp = jnp.exp(post.log_resp)
+                    z = jnp.einsum("nk,nkd->nd", resp, post.mean)
+                return mask * x + (1.0 - mask) * decode_z(z), None
 
             out, _ = jax.lax.scan(body, x0, None, length=num_iters)
             return out
@@ -292,7 +314,7 @@ class SvaeServer:
         self._encode = jax.jit(encode_fn)
         self._reconstruct = jax.jit(reconstruct_fn)
         self._score = jax.jit(score_fn, static_argnums=(2,))
-        self._impute = jax.jit(impute_fn, static_argnums=(1,))
+        self._impute = jax.jit(impute_fn, static_argnums=(1, 2))
         # Unjitted endpoint bodies — export_serving re-wraps them with
         # export-friendly signatures (seed scalar instead of a PRNG key).
         self._raw_fns = {
@@ -329,17 +351,24 @@ class SvaeServer:
         """Hard cluster assignment, (n,) int."""
         return self.encode(x)["component"]
 
-    def impute(self, x, mask, num_iters: int = 10):
-        """Fill missing coordinates by iterated posterior-mean decoding.
+    def impute(self, x, mask, num_iters: int = 10, mode: str = "mean"):
+        """Fill missing coordinates by iterated structured decoding.
 
         ``mask`` is truthy where ``x`` is observed and 0 where it is
         missing (broadcastable to ``x``'s shape; binarized internally).
         Missing entries of ``x`` are ignored (any placeholder value
-        works); observed entries are returned untouched. Returns
+        works); observed entries are returned untouched. ``mode="mean"``
+        decodes the responsibility-weighted posterior mean;
+        ``mode="map"`` decodes the MAP component's mean — use it when
+        the conditional is multimodal (mode-averaging fills land between
+        the data's modes; see runs/impute_quality.json). Returns
         (n, input_dim): decoder means for Gaussian likelihoods, pixel
         probabilities for Bernoulli.
         """
-        return self._batched(self._impute, _pack_masked(x, mask), num_iters)
+        if mode not in ("mean", "map"):
+            raise ValueError(f"mode must be 'mean' or 'map', got {mode!r}")
+        return self._batched(self._impute, _pack_masked(x, mask),
+                             num_iters, mode == "map")
 
     def generate(self, num: int, key=None, sample_params: bool = False):
         """Sample the generative model: (x, z, component labels)."""
@@ -360,7 +389,7 @@ _EXPORT_MANIFEST = "exports.json"
 
 def export_serving(server: SvaeServer, directory: str | Path,
                    buckets=None, score_samples: int = 100,
-                   impute_iters: int = 10,
+                   impute_iters: int = 10, impute_mode: str = "mean",
                    platforms=("cpu", "tpu")) -> dict:
     """Ahead-of-time lower every endpoint × bucket to serialized StableHLO.
 
@@ -388,10 +417,14 @@ def export_serving(server: SvaeServer, directory: str | Path,
     def score_seeded(x, seed):
         return score_fn(x, jax.random.PRNGKey(seed), score_samples)
 
+    if impute_mode not in ("mean", "map"):
+        raise ValueError(
+            f"impute_mode must be 'mean' or 'map', got {impute_mode!r}"
+        )
     impute_raw = server._raw_fns["impute"]
 
     def impute_fixed(xm):
-        return impute_raw(xm, impute_iters)
+        return impute_raw(xm, impute_iters, impute_mode == "map")
 
     # (fn, extra example args, input width) — impute takes the packed
     # [x | mask] array, twice the feature width.
@@ -406,6 +439,7 @@ def export_serving(server: SvaeServer, directory: str | Path,
         "buckets": list(buckets),
         "score_samples": score_samples,
         "impute_iters": impute_iters,
+        "impute_mode": impute_mode,
         "platforms": list(platforms),
         "artifacts": {},
     }
@@ -448,6 +482,7 @@ class ExportedServer:
         self.score_samples = int(manifest["score_samples"])
         # Pre-impute manifests (≤ round 4) lack the key; impute() raises.
         self.impute_iters = int(manifest.get("impute_iters", 0))
+        self.impute_mode = manifest.get("impute_mode", "mean")
         self._buckets = tuple(sorted(int(b) for b in manifest["buckets"]))
         self._arts = {
             name: {
@@ -485,7 +520,8 @@ class ExportedServer:
 
     def impute(self, x, mask):
         """Missing-data fill-in at the manifest's fixed iteration count
-        (``impute_iters``); same mask contract as ``SvaeServer.impute``."""
+        (``impute_iters``) and decode rule (``impute_mode``); same mask
+        contract as ``SvaeServer.impute``."""
         if "impute" not in self._arts:
             raise KeyError(
                 "this export predates the impute endpoint — re-run "

@@ -103,6 +103,41 @@ def test_impute(server):
     )
 
 
+def test_impute_map_mode(server):
+    """mode='map' (decode the MAP component instead of the mixture mean,
+    round 5) honors the same contract: finite, observed passthrough,
+    identity on all-observed; invalid modes raise."""
+    x = make_pinwheel_data(num_per_class=5, seed=4).astype(np.float32)
+    mask = np.ones_like(x)
+    mask[:, 0] = 0.0
+    out = server.impute(x, mask, num_iters=6, mode="map")
+    assert out.shape == x.shape and np.all(np.isfinite(out))
+    np.testing.assert_array_equal(out[:, 1], x[:, 1])
+    np.testing.assert_array_equal(
+        server.impute(x, np.ones_like(x), mode="map"), x
+    )
+    with pytest.raises(ValueError, match="mode"):
+        server.impute(x, mask, mode="argmax")
+
+
+def test_exported_impute_map_mode(server, tmp_path):
+    """An export with impute_mode='map' records the rule in its manifest
+    and reproduces the live map-mode endpoint exactly."""
+    serve.export_serving(server, tmp_path / "map_exp", buckets=(8, 32),
+                         score_samples=5, impute_iters=6,
+                         impute_mode="map")
+    exp = serve.load_exported(tmp_path / "map_exp")
+    assert exp.impute_mode == "map"
+    x = make_pinwheel_data(num_per_class=5, seed=4).astype(np.float32)
+    mask = np.ones_like(x)
+    mask[:, 0] = 0.0
+    np.testing.assert_allclose(
+        exp.impute(x, mask),
+        server.impute(x, mask, num_iters=6, mode="map"),
+        rtol=1e-6, atol=1e-6,
+    )
+
+
 def test_generate(server):
     x, z, labels = server.generate(12, key=jax.random.PRNGKey(4))
     assert x.shape == (12, 2) and z.shape == (12, 2) and labels.shape == (12,)
