@@ -124,3 +124,24 @@ def test_pack_masked_binarizes_and_blocks_nan():
     # 1-D input promotes to a single row; mask broadcasts.
     xm1 = _pack_masked(np.array([1.0, 2.0], np.float32), 1.0)
     np.testing.assert_array_equal(xm1, [[1.0, 2.0, 1.0, 1.0]])
+
+
+def test_round5_figure_script_smoke(tmp_path):
+    """experiments/plot_round5.py renders both evidence figures from the
+    committed runs/ artifacts into an arbitrary --out-dir (device-free:
+    matplotlib only, safe anywhere). Guards the committed-figure pipeline
+    against artifact-schema drift."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    out = subprocess.run(
+        [sys.executable, str(repo / "experiments" / "plot_round5.py"),
+         "--runs-dir", str(repo / "runs"), "--out-dir", str(tmp_path)],
+        cwd=tmp_path, capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    for name in ("comparison_paired.png", "impute_quality.png"):
+        f = tmp_path / name
+        assert f.exists() and f.stat().st_size > 10_000, name
