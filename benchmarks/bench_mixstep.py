@@ -40,6 +40,10 @@ def main() -> None:
     ap.add_argument("--n-points", type=int, default=0,
                     help="0 = the pinwheel 400; else synthetic N")
     ap.add_argument("-K", "--num-components", type=int, default=10)
+    ap.add_argument("--unroll", type=int, default=8,
+                    help="complete steps per grid iteration (in-kernel "
+                         "unroll; 1 = the round-3 one-step-per-iteration "
+                         "form)")
     args = ap.parse_args()
 
     import jax
@@ -83,7 +87,8 @@ def main() -> None:
         if not args.skip_parity:
             t_par = 5
             st_k, mets_k = msp.train_chunk(state0, prior, x, rho=rho,
-                                           t_steps=t_par, dof=dof)
+                                           t_steps=t_par, dof=dof,
+                                           unroll=args.unroll)
             jax.block_until_ready(st_k.nat.dir_nat)
             step_j = jax.jit(make_step())
             st_o = state0
@@ -107,7 +112,8 @@ def main() -> None:
         def run(st, t_steps):
             t0 = time.perf_counter()
             st, mets = msp.train_chunk(st, prior, x, rho=rho,
-                                       t_steps=t_steps, dof=dof)
+                                       t_steps=t_steps, dof=dof,
+                                       unroll=args.unroll)
             float(st.nat.dir_nat[0])  # host-read sync through the tunnel
             return st, time.perf_counter() - t0
 
@@ -131,6 +137,7 @@ def main() -> None:
             "us_per_step_marginal": round(1e6 * m, 3),
             "us_per_step_wall_T": round(1e6 * statistics.median(singles), 3),
             "t_steps_per_launch": t1,
+            "unroll": args.unroll,
             "n": n, "k": k,
             "plane_occupancy": round((n * k) / (n_pad * k_pad), 2),
             "final_elbo": round(ev, 2),

@@ -116,6 +116,42 @@ def test_smm_trajectory_matches_oracle():
     )
 
 
+def test_unroll_grid_mix_matches_oracle():
+    # grid > 1 AND unroll > 1 together: t=12 at unroll=3 runs 4 grid
+    # iterations of 3 in-register steps each. The trajectory and the
+    # per-step evidence metric must match the step-at-a-time oracle, and
+    # the naturals must agree across unroll factors to float-scheduling
+    # noise (same math; the compiler may fuse the unrolled body
+    # differently, so the last bits can differ — measured ~1e-6 rel).
+    x, prior, state = _setup(n=72, k=5, seed=6)
+    t = 12
+    oracle_step = gmm_baseline.make_train_step(prior, rho=0.3, num_total=72)
+    ref_state, ref_evid = _oracle(oracle_step, state, x, t)
+
+    st3, mets3 = msp.train_chunk(
+        state, prior, x, rho=0.3, t_steps=t, interpret=True, unroll=3
+    )
+    _assert_nat_close(st3.nat, ref_state.nat)
+    np.testing.assert_allclose(
+        np.asarray(mets3["local_evidence"]), ref_evid, rtol=2e-4, atol=2e-3
+    )
+    assert int(st3.step) == t
+
+    st1, _ = msp.train_chunk(
+        state, prior, x, rho=0.3, t_steps=t, interpret=True, unroll=1
+    )
+    for la, lb in zip(jax.tree.leaves(st1.nat), jax.tree.leaves(st3.nat)):
+        np.testing.assert_allclose(
+            np.asarray(la), np.asarray(lb), rtol=1e-4, atol=1e-5
+        )
+
+    # a non-divisor request clamps to the largest divisor (5 → 4 at t=12)
+    st5, _ = msp.train_chunk(
+        state, prior, x, rho=0.3, t_steps=t, interpret=True, unroll=5
+    )
+    _assert_nat_close(st5.nat, ref_state.nat)
+
+
 def test_smm_reduces_to_gmm_at_large_dof():
     # dof large enough that E[u] ≈ 1, small enough that f32 keeps the
     # ½·quad term alive inside a·log(a₀ + ½·quad): the residual GMM gap
