@@ -74,11 +74,12 @@ def main() -> None:
         # RECIPE (in-kernel input-noise augmentation sigma=0.4, the
         # BASELINE.md seed-table recipe): 10000 steps per launch, all
         # state VMEM-resident; single-pass MXU dots. This exact engine
-        # reproduces the canonical 8-seed table (IW -5.353±0.081, 6/8
-        # crossing the -5.41 pure-GMM bar — runs/seed_sweep_r4_mega_
-        # default.json), so the headline steps/s and the quality claim
-        # describe the same trainer; augmentation costs 0.9% (57.26 vs
-        # 56.74 us/step same-session A/B, benchmarks/bench_tinystep.py).
+        # produced the round-5 32-seed canonical tables (best-of-5: IW
+        # -5.40±0.28, median -5.33, 21/32 crossing the -5.41 pure-GMM
+        # bar — runs/seed_sweep_r5_mega_rs5_32.json), so the headline
+        # steps/s and the quality claim describe the same trainer;
+        # augmentation costs 0.9% (57.26 vs 56.74 us/step same-session
+        # A/B, benchmarks/bench_tinystep.py).
         from svax.ops import tinystep_pallas as tsp
 
         st = state
