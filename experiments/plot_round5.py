@@ -6,12 +6,18 @@ quality, VERDICT r4 weak #4) and writes two PNGs into docs/figures/:
 
 - comparison_paired.png — per-seed paired deltas (SVAE − VAE held-out IW)
   per dataset, with mean ± sem and the win count. Shows the honest round-5
-  verdicts: pinwheel favors the VAE (13/32), auto and mnist are decisive
-  SVAE wins (8/8 each).
+  verdicts: pinwheel per-seed wins are even (16/32) but the mean favors
+  the VAE via the SVAE's collapse tail; auto and mnist are decisive SVAE
+  wins (8/8 each).
 - impute_quality.png — impute-endpoint quality vs mean-fill and a
   matched-budget VAE on the mnist surrogate (masked-pixel NLL + bit error;
   the endpoint's value case) and pinwheel hide-one-coordinate RMSE (the
   documented honest negative — no deterministic fill beats the marginal).
+- seed_distributions.png — the round-5 32-seed canonical sweeps (best-of-2
+  vs best-of-5 vs the exact pure-GMM bar) and the 32-redraw per-draw
+  IW-minus-bar gaps: the bimodality/tail story behind every crossing
+  claim, from runs/seed_sweep_r5_mega_{default32,rs5_32}.json and
+  runs/seed_sweep_r5_redraw_rs5_32.json.
 
 Pure matplotlib on committed JSON; no jax, no device, deterministic.
 
@@ -220,6 +226,67 @@ def plot_impute(iq: dict, out: pathlib.Path) -> None:
     plt.close(fig)
 
 
+def plot_seed_distributions(canon2: dict, canon5: dict, redraw: dict,
+                            out: pathlib.Path) -> None:
+    fig, axes = plt.subplots(2, 1, figsize=(6.4, 3.6), dpi=160)
+    fig.patch.set_facecolor(SURFACE)
+    rng = np.random.default_rng(0)  # jitter only; data order is committed
+
+    # Canonical protocol: 32 model seeds on the fixed seed-0 draw.
+    ax = axes[0]
+    _style_axis(ax)
+    bar = canon2["results"]["aug0.4+rs2"]["rows"][0]["gmm_bar"]
+    ax.axvline(bar, color=INK, lw=1.2, zorder=2)
+    ax.text(bar, 1.52, f" exact-GMM bar {bar:.2f}", fontsize=7.5,
+            color=INK, ha="left", va="top")
+    for y, (label, blob, color) in enumerate([
+        ("best-of-2", canon2["results"]["aug0.4+rs2"], ORANGE),
+        ("best-of-5", canon5["results"]["aug0.4+rs5"], BLUE),
+    ]):
+        iw = np.array([r["iw_per_point"] for r in blob["rows"]])
+        cross = int(sum(r["crossed"] for r in blob["rows"]))
+        jitter = rng.uniform(-0.16, 0.16, size=iw.shape)
+        ax.scatter(iw, y + jitter, s=26, color=color, edgecolors=SURFACE,
+                   linewidths=1.0, zorder=3)
+        ax.plot([np.median(iw)] * 2, [y - 0.26, y + 0.26], color=INK,
+                lw=2.0, zorder=4)
+        ax.text(0.01, 0.32 + 0.46 * y,
+                f"{label}: median {np.median(iw):.2f}, {cross}/{len(iw)} cross",
+                transform=ax.transAxes, ha="left", va="center", fontsize=8,
+                color=color)
+    ax.set_yticks([0, 1])
+    ax.set_yticklabels(["rs2", "rs5"], fontsize=8, color=INK)
+    ax.set_ylim(-0.55, 1.55)
+    ax.set_title("Canonical protocol, 32 model seeds (megakernel engine): "
+                 "held-out IW/point", fontsize=9, color=INK, loc="left")
+
+    # Redraw protocol: 32 fresh data draws, per-draw bars.
+    ax = axes[1]
+    _style_axis(ax)
+    rows = redraw["results"]["aug0.6+rs5+steps30000"]["rows"]
+    gap = np.array([r["iw_per_point"] - r["gmm_bar"] for r in rows])
+    cross = int(sum(r["crossed"] for r in rows))
+    ax.axvline(0.0, color=INK, lw=1.2, zorder=2)
+    jitter = rng.uniform(-0.16, 0.16, size=gap.shape)
+    ax.scatter(gap, jitter, s=26, color=AQUA, edgecolors=SURFACE,
+               linewidths=1.0, zorder=3)
+    ax.plot([np.median(gap)] * 2, [-0.26, 0.26], color=INK, lw=2.0, zorder=4)
+    ax.text(0.99, 0.88,
+            f"median gap {np.median(gap):+.3f} nat, {cross}/{len(gap)} cross",
+            transform=ax.transAxes, ha="right", va="top", fontsize=8,
+            color=INK2)
+    ax.set_yticks([])
+    ax.set_ylim(-0.55, 0.55)
+    ax.set_xlabel("IW/point − per-draw exact-GMM bar  (> 0 = crosses)",
+                  fontsize=8.5, color=INK)
+    ax.set_title("Redraw protocol, 32 fresh draws (best-of-5): gap to each "
+                 "draw's own bar", fontsize=9, color=INK, loc="left")
+
+    fig.tight_layout()
+    fig.savefig(out, facecolor=SURFACE, bbox_inches="tight")
+    plt.close(fig)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--out-dir", default="docs/figures")
@@ -236,6 +303,15 @@ def main() -> None:
     iq = json.loads((runs / "impute_quality.json").read_text())
     plot_impute(iq, out_dir / "impute_quality.png")
     print(f"wrote {out_dir / 'impute_quality.png'}")
+
+    canon2 = json.loads(
+        (runs / "seed_sweep_r5_mega_default32.json").read_text())
+    canon5 = json.loads((runs / "seed_sweep_r5_mega_rs5_32.json").read_text())
+    redraw = json.loads(
+        (runs / "seed_sweep_r5_redraw_rs5_32.json").read_text())
+    plot_seed_distributions(canon2, canon5, redraw,
+                            out_dir / "seed_distributions.png")
+    print(f"wrote {out_dir / 'seed_distributions.png'}")
 
 
 if __name__ == "__main__":

@@ -142,6 +142,7 @@ def test_round5_figure_script_smoke(tmp_path):
         cwd=tmp_path, capture_output=True, text=True, timeout=300,
     )
     assert out.returncode == 0, out.stderr[-2000:]
-    for name in ("comparison_paired.png", "impute_quality.png"):
+    for name in ("comparison_paired.png", "impute_quality.png",
+                 "seed_distributions.png"):
         f = tmp_path / name
         assert f.exists() and f.stat().st_size > 10_000, name
