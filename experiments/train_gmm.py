@@ -40,6 +40,12 @@ def main() -> None:
     p.add_argument("--dp", action="store_true", help="data-parallel over all devices")
     p.add_argument("--fused-kernel", action="store_true", help="use the Pallas fused E-step")
     p.add_argument(
+        "--unroll", type=int, default=1,
+        help="megakernel engine only: complete steps per grid iteration "
+             "(opt-in ~9%% GMM throughput win at 8; >1 trades away the "
+             "bit-exact chunk-split/resume contract -- see "
+             "mixstep_pallas.train_chunk)")
+    p.add_argument(
         "--engine", choices=["xla", "megakernel", "auto"], default="xla",
         help="hot-loop engine: megakernel = whole-train-step Pallas kernel "
         "(full batch, d=2, constant rho); auto = megakernel when supported "
@@ -126,9 +132,11 @@ def main() -> None:
         if args.engine == "megakernel":
             if reason is not None:
                 p.error(f"--engine megakernel: {reason}")
-            mega = make_mixture_megakernel_runner(prior, rho=args.rho)
+            mega = make_mixture_megakernel_runner(
+                prior, rho=args.rho, unroll=args.unroll)
         elif reason is None and jax.devices()[0].platform == "tpu":
-            mega = make_mixture_megakernel_runner(prior, rho=args.rho)
+            mega = make_mixture_megakernel_runner(
+                prior, rho=args.rho, unroll=args.unroll)
 
     logf = open(args.logfile, "a") if args.logfile else None
     print(

@@ -34,6 +34,12 @@ def main() -> None:
     p.add_argument("--eval-every", type=int, default=20)
     p.add_argument("--platform", choices=["default", "cpu"], default="default")
     p.add_argument(
+        "--unroll", type=int, default=1,
+        help="megakernel engine only: complete steps per grid iteration "
+             "(opt-in ~9%% GMM throughput win at 8; >1 trades away the "
+             "bit-exact chunk-split/resume contract -- see "
+             "mixstep_pallas.train_chunk)")
+    p.add_argument(
         "--engine", choices=["xla", "megakernel", "auto"], default="xla",
         help="hot-loop engine: megakernel = whole-train-step Pallas kernel "
         "(full batch, d=2); auto = megakernel when supported on TPU",
@@ -87,11 +93,11 @@ def main() -> None:
             if reason is not None:
                 p.error(f"--engine megakernel: {reason}")
             mega = make_mixture_megakernel_runner(
-                prior, rho=args.rho, dof=args.dof
+                prior, rho=args.rho, dof=args.dof, unroll=args.unroll
             )
         elif reason is None and jax.devices()[0].platform == "tpu":
             mega = make_mixture_megakernel_runner(
-                prior, rho=args.rho, dof=args.dof
+                prior, rho=args.rho, dof=args.dof, unroll=args.unroll
             )
 
     print(

@@ -351,6 +351,7 @@ def make_mixture_megakernel_runner(
     rho: float,
     dof: float = 0.0,
     interpret: bool | None = None,
+    unroll: int = 1,
 ) -> Callable:
     """Chunk runner driving the GMM/SMM whole-train-step Pallas kernel.
 
@@ -366,6 +367,14 @@ def make_mixture_megakernel_runner(
     at each step's pre-update naturals), so logged elbo rows carry a
     global term up to one chunk fresher — identical at convergence, and
     the bound of a real parameter setting either way.
+
+    ``unroll`` > 1 runs that many complete steps per grid iteration
+    (mixstep_pallas.train_chunk): ~9% faster on the GMM at U=8 (1.11M
+    steps/s, BASELINE.md headroom note) but each U compiles its own
+    kernel body, so trajectories across different unrolls — and across
+    chunk splits that change the clamped U — agree only to ~1e-6
+    float-scheduling noise. Leave at 1 (the default) when the bit-exact
+    chunk-split/resume contract matters.
     """
     from svax.ops import mixstep_pallas as msp
     from svax.pgm import gmm
@@ -378,7 +387,7 @@ def make_mixture_megakernel_runner(
         del seed
         state, mets = msp.train_chunk(
             state, prior, x, rho=rho, t_steps=t_steps, dof=dof,
-            interpret=interpret,
+            interpret=interpret, unroll=unroll,
         )
         gkl = kl_global(state.nat)
         mets = dict(mets)

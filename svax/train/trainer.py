@@ -69,6 +69,11 @@ class TrainerConfig:
     # raises with the reason when the workload is outside its shape
     # class), or "auto" (megakernel when supported AND on TPU, else xla).
     engine: str = "xla"
+    # Mixture-megakernel only: complete steps per grid iteration (see
+    # mixstep_pallas.train_chunk). >1 is an opt-in ~9% GMM throughput win
+    # that trades away the bit-exact chunk-split/resume contract (each U
+    # compiles its own body; cross-U agreement is ~1e-6 rel).
+    megakernel_unroll: int = 1
     # --- VAE-style warmup + k-means++ reseed (svax.train.warmup) ---
     # When latent_dim != input_dim the components can't be seeded from
     # data and CVI collapses the mixture to one component (measured:
@@ -498,7 +503,8 @@ class _ConjugateMixtureTrainer(Trainer):
         elif reason is not None:
             raise ValueError(f"engine='megakernel': {reason}")
         return make_mixture_megakernel_runner(
-            self.prior, rho=self.rho, dof=getattr(self, "dof", 0.0)
+            self.prior, rho=self.rho, dof=getattr(self, "dof", 0.0),
+            unroll=self.tc.megakernel_unroll,
         )
 
 

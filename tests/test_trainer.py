@@ -332,6 +332,17 @@ def test_gmm_trainer_megakernel_engine(tmp_path):
         assert np.isfinite(rows[-1][key]), key
     assert rows[-1]["elbo"] > rows[0]["elbo"]
 
+    # The opt-in in-kernel unroll (TrainerConfig.megakernel_unroll) must
+    # leave the trajectory unchanged up to float-scheduling noise (the
+    # chunk is 4 steps, so unroll=4 runs each chunk as one grid
+    # iteration of 4 in-register steps).
+    tcu = TrainerConfig(engine="megakernel", megakernel_unroll=4, **kw)
+    stu = GmmTrainer(tcu, num_components=5, data_dim=2).fit(x_train, x_test)
+    np.testing.assert_allclose(
+        np.asarray(stu.nat.dir_nat), np.asarray(state.nat.dir_nat),
+        rtol=3e-4, atol=3e-4,
+    )
+
 
 def test_smm_trainer_megakernel_engine():
     """The SMM baseline rides the same kernel with u-weighted stats."""
