@@ -403,6 +403,15 @@ class SvaeTrainer(Trainer):
             megakernel_unsupported_reason,
         )
 
+        if self.tc.megakernel_unroll != 1:
+            # Loud gate, not a silent ignore: the unroll knob exists only
+            # on the mixture megakernel (GmmTrainer/SmmTrainer).
+            raise ValueError(
+                "megakernel_unroll applies only to the mixture megakernel "
+                "engines; the SVAE tinystep/flexstep kernels have no "
+                "unroll (their per-grid-iteration overhead is <1% of the "
+                "step — docs/DESIGN.md mixstep note)"
+            )
         reason = megakernel_unsupported_reason(
             self.mc,
             batch_full=self.tc.batch_size == 0,
